@@ -1,0 +1,67 @@
+"""Pipeline configuration.
+
+Terminology follows the reference (``/root/reference/lsh-qd.py:20-27``):
+``rows_per_band`` = reference ``k`` (AND within a band/table),
+``num_bands``     = reference ``l`` (OR across bands/tables).
+Collision curve: ``1 - (1 - s^rows_per_band)^num_bands``
+(``/root/reference/lsh-qd.py:453``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+# Production MinHash affine family: h' = shingle_hash mod HASH_M;
+# sig_j = (a_j * h' + b_j) mod MERSENNE_P. Bounds chosen so every product
+# fits in int64 without 128-bit arithmetic: a_j, h' < 2^31 → a*h' < 2^62.
+MERSENNE_P = (1 << 61) - 1  # 2305843009213693951, prime
+HASH_M = 2147483629  # largest prime < 2^31
+
+# Reference family constants (/root/reference/lsh-qd.py:30-33), used only by
+# the parity kernel where inputs are small feature indices.
+REF_MAX_VAL = 2**32 - 1
+REF_P = 4294967311
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Configuration for the near-duplicate detection pipeline."""
+
+    shingle_k: int = 5  # tokens per k-gram shingle
+    rows_per_band: int = 2  # reference k: hashes AND-ed per band
+    num_bands: int = 16  # reference l: bands OR-ed
+    alpha: int = 1  # min #bands a pair must collide in (AlphaLSH, lsh-qd.py:286-297)
+    jaccard_threshold: float = 0.8  # verify gate (north rule)
+    seed: int = 42  # matches reference default (lsh-qd.py:20)
+    # 'xxhash64' = production (JVM-side, fast); 'poly' = portable polynomial
+    # hash expressible in both Spark SQL and DuckDB (oracle parity).
+    shingle_hash: str = "xxhash64"
+    max_bucket_size: int = 2000  # buckets larger than this use star pairing
+    salt_partitions: int = 0  # >0 adds a salt column to pair-count groupBy
+    min_exact_overlap: int = 50  # suffix-array exact-overlap threshold (chars)
+
+    @property
+    def num_hashes(self) -> int:
+        return self.rows_per_band * self.num_bands
+
+    def config_hash(self) -> str:
+        """Content hash for checkpoint manifests (resume detection)."""
+        payload = json.dumps(asdict(self), sort_keys=True)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """Spark runtime knobs, sized for the target scale.
+
+    At 100 TB / 1000 executors the same code runs with larger
+    ``shuffle_partitions`` (rule of thumb: ~2-3× total cores, and
+    ≥ input_bytes / 200MB for the pair-join stage) — these are plain Spark
+    confs, not code changes.
+    """
+
+    shuffle_partitions: int = 32
+    arrow_max_records_per_batch: int = 2048  # bound NumPy batch memory in UDFs
+    extra_confs: dict = field(default_factory=dict)

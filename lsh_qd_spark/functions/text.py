@@ -1,0 +1,88 @@
+"""Text normalization, tokenization, and shingling — all JVM-side.
+
+The reference consumes pre-vectorized binary strings and derives the set of
+nonzero indices (``/root/reference/lsh-qd.py:195``). Our front-end replaces
+that with the text path the north rule mandates: normalize → tokenize →
+k-gram shingles → 64-bit shingle hashes. Everything here is built from
+``pyspark.sql.functions`` so it stays inside whole-stage codegen — no Python
+in the hot path.
+
+Two shingle-hash families:
+- ``xxhash64`` (default, production): Spark's JVM xxhash64 of the shingle
+  string.
+- ``poly`` (portable): polynomial character hash mod ``HASH_M``, expressible
+  identically in DuckDB SQL — used by the driver-oracle queries so Spark and
+  DuckDB compute byte-identical shingle IDs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from lsh_qd_spark.config import HASH_M
+
+POLY_MULT = 31
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, collapse all whitespace runs to single spaces, trim.
+
+    Deterministic pure function of the input → satisfies the per-row
+    "byte-identical extracted text per url" invariant (BASELINE.json
+    input_hint).
+    """
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of normalized text (empty tokens removed)."""
+    return F.filter(F.split(normalize_text(col), " "), lambda t: t != F.lit(""))
+
+
+def shingle_strings(col: Column, k: int) -> Column:
+    """Distinct k-gram shingle strings of a text column.
+
+    Documents with fewer than ``k`` tokens (but ≥ 1) produce a single shingle
+    of all their tokens; empty documents produce an empty array (downstream
+    drops them, mirroring the reference's empty-set skip at
+    ``/root/reference/lsh-qd.py:196-197``).
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = (
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            ),
+        )
+        .when(n > 0, F.array(F.concat_ws(" ", toks)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return F.array_distinct(grams)
+
+
+def poly_hash(col: Column) -> Column:
+    """Portable polynomial hash of a string: fold ``acc*31 + codepoint``
+    mod HASH_M over characters. Exactly reproducible in DuckDB SQL
+    (see lsh_qd_spark/oracle.py) — the bridge for driver value-hash parity.
+    """
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * POLY_MULT + F.ascii(c)) % F.lit(HASH_M),
+    )
+
+
+def shingles(col: Column, k: int, hash_family: str = "xxhash64") -> Column:
+    """Distinct 64-bit shingle IDs for a text column: array<long>."""
+    grams = shingle_strings(col, k)
+    if hash_family == "xxhash64":
+        hashed = F.transform(grams, lambda s: F.xxhash64(s))
+    elif hash_family == "poly":
+        hashed = F.transform(grams, poly_hash)
+    else:
+        raise ValueError(f"unknown shingle hash family: {hash_family}")
+    return F.array_distinct(hashed)

@@ -1,0 +1,59 @@
+"""LSH banding: signature → (doc_id, band_idx, band_key) bucket rows.
+
+The reference materializes ``l`` dict-of-list hash tables
+(``/root/reference/lsh-qd.py:45-47``) keyed by ``hash(tuple(signature))``
+(``lsh-qd.py:62``). Here a "table" is just the set of rows sharing a
+``band_idx`` in ONE exploded DataFrame; the bucket id is the band's
+signature slice itself (grouping equality ⇔ signature equality — exact
+semantics, no Python-hash collisions), optionally compressed to a 64-bit
+xxhash64 key to keep shuffle rows narrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def band_key_expr(band_sig: Column, mode: str = "xxhash64") -> Column:
+    """Bucket key from a band's signature slice.
+
+    ``xxhash64``: 64-bit key (narrow shuffle rows — production default).
+    ``str``: the comma-joined slice itself — portable to DuckDB for the
+    driver oracle, and collision-free by construction.
+    """
+    as_str = F.concat_ws(",", F.transform(band_sig, lambda v: v.cast("string")))
+    if mode == "xxhash64":
+        return F.xxhash64(as_str)
+    if mode == "str":
+        return as_str
+    raise ValueError(f"unknown band key mode: {mode}")
+
+
+def band_buckets(
+    sig_df: DataFrame,
+    rows_per_band: int,
+    num_bands: int,
+    key_mode: str = "xxhash64",
+    sig_col: str = "sig",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode a flat band-major signature into per-band bucket rows.
+
+    Signature layout matches the reference's coefficient order: band ``i``
+    occupies ``sig[i*rows_per_band : (i+1)*rows_per_band]``
+    (``/root/reference/lsh-qd.py:37-38`` list-comprehension order).
+    Narrow op (posexplode) — pipelined with the signature stage, no shuffle.
+    """
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda i: F.slice(F.col(sig_col), i * rows_per_band + 1, rows_per_band),
+    )
+    exploded = sig_df.select(
+        F.col(id_col), F.posexplode(bands).alias("band_idx", "band_sig")
+    )
+    return exploded.select(
+        id_col,
+        "band_idx",
+        band_key_expr(F.col("band_sig"), key_mode).alias("band_key"),
+    )

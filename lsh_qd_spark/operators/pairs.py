@@ -1,0 +1,135 @@
+"""Candidate-pair generation from LSH buckets — the skew-critical stage.
+
+Replaces the reference's query-time bucket probes and collision-frequency
+dict (``/root/reference/lsh-qd.py:110-131``) with an all-pairs dataflow:
+bucket-group → within-bucket pair explosion → pair-count aggregation →
+alpha filter (AlphaLSH HAVING semantics, ``lsh-qd.py:286-297``).
+
+Scale design (SURVEY.md §4): a boilerplate mega-bucket makes naive
+self-joins quadratic. We therefore:
+- aggregate bucket membership ONCE (map-side partial agg on
+  ``(band_idx, band_key)``) computing size + representative;
+- buckets ≤ ``max_bucket_size``: exact within-bucket pairs, generated
+  JVM-side from the collected member array (bounded memory: the array is
+  capped) — no second shuffle, no join explosion AQE would have to repair;
+- buckets > cap (near-always exact-dup boilerplate): STAR pairs
+  ``(rep, member)`` — O(n) edges that keep the component connected for
+  clustering without materializing O(n²) pairs. These bypass the alpha
+  filter (they are tagged) since star edges undercount band collisions.
+
+Pair order is canonicalized ``id_a < id_b`` (the dedup analog of the
+reference's self-exclusion, ``lsh-qd.py:145-148``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _full_pairs(members: Column) -> Column:
+    """All ordered pairs (m[i], m[j]), i<j, from a sorted member array —
+    pure JVM nested transform, stays in codegen."""
+    return F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + 2, F.size(members)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
+def bucket_members(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
+    """(band_idx, band_key, members, bucket_n, rep): membership per bucket.
+
+    ``collect_set`` is bounded: members are only collected for buckets at or
+    below the cap; oversized buckets keep only (size, rep).
+    """
+    sized = buckets.groupBy("band_idx", "band_key").agg(
+        F.count("*").alias("bucket_n"),
+        F.min("doc_id").alias("rep"),
+        F.sort_array(F.collect_set("doc_id")).alias("members_all"),
+    )
+    # NOTE on scale: collect_set on a mega-bucket is itself a memory hazard.
+    # For buckets over the cap we re-derive star edges from the raw bucket
+    # rows instead (see candidate_pairs), so the collected array is unused
+    # there; Spark still materializes it in this simple form. The
+    # scale-hardened path splits by a pre-computed size column — see
+    # candidate_pairs(two_phase=True).
+    return sized.withColumn(
+        "members",
+        F.when(F.col("bucket_n") <= max_bucket_size, F.col("members_all")),
+    ).drop("members_all")
+
+
+def candidate_pairs(
+    buckets: DataFrame,
+    alpha: int = 1,
+    max_bucket_size: int = 500,
+    two_phase: bool = True,
+) -> DataFrame:
+    """(id_a, id_b, n_bands, via_star) candidate pairs.
+
+    ``n_bands`` = number of bands in which the pair shares a bucket (the
+    reference's collision frequency, ``lsh-qd.py:118-131``); pairs must meet
+    ``n_bands >= alpha`` (AlphaLSH filter, ``lsh-qd.py:295``). Star pairs
+    from oversized buckets are kept regardless of alpha and flagged.
+    """
+    if two_phase:
+        # Phase 1: bucket sizes + representative (cheap partial agg).
+        sizes = buckets.groupBy("band_idx", "band_key").agg(
+            F.count("*").alias("bucket_n"), F.min("doc_id").alias("rep")
+        )
+        # Phase 2: re-shuffle members to their bucket (same key → AQE/exchange
+        # reuse) and split small/large WITHOUT ever collecting a mega-bucket.
+        joined = buckets.join(sizes, ["band_idx", "band_key"])
+        small = (
+            joined.where(F.col("bucket_n") <= max_bucket_size)
+            .groupBy("band_idx", "band_key")
+            .agg(F.sort_array(F.collect_set("doc_id")).alias("members"))
+            .where(F.size("members") >= 2)
+        )
+        small_pairs = small.select(
+            F.explode(_full_pairs(F.col("members"))).alias("pr")
+        ).select(F.col("pr.id_a"), F.col("pr.id_b"))
+        large_pairs = (
+            joined.where(
+                (F.col("bucket_n") > max_bucket_size)
+                & (F.col("doc_id") != F.col("rep"))
+            )
+            .select(F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+            .distinct()
+        )
+    else:
+        grouped = bucket_members(buckets, max_bucket_size)
+        small_pairs = (
+            grouped.where(F.col("members").isNotNull() & (F.size("members") >= 2))
+            .select(F.explode(_full_pairs(F.col("members"))).alias("pr"))
+            .select(F.col("pr.id_a"), F.col("pr.id_b"))
+        )
+        large_pairs = (
+            buckets.join(
+                grouped.where(F.col("members").isNull()).select(
+                    "band_idx", "band_key", "rep"
+                ),
+                ["band_idx", "band_key"],
+            )
+            .where(F.col("doc_id") != F.col("rep"))
+            .select(F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+            .distinct()
+        )
+
+    counted = (
+        small_pairs.groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_bands"))
+        .where(F.col("n_bands") >= alpha)
+        .withColumn("via_star", F.lit(False))
+    )
+    stars = large_pairs.join(
+        counted.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    ).select(
+        "id_a", "id_b", F.lit(0).alias("n_bands"), F.lit(True).alias("via_star")
+    )
+    return counted.unionByName(stars)

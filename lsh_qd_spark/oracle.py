@@ -1,0 +1,540 @@
+"""Driver-oracle query set: paired (Spark DataFrame, DuckDB SQL) queries.
+
+Each entry runs the engine's real operators on the driver's ``documents`` /
+``embeddings`` parquet tables and has an ANSI-SQL twin that DuckDB evaluates
+on the same files — the correctness gate of the build (CORRECTNESS_r{N}).
+
+Value parity across engines is achieved by running the pipeline in its
+*portable* hash mode: shingle IDs are polynomial character hashes mod
+``HASH_M`` (functions/text.py:poly_hash) and band keys are the signature
+slices themselves as strings — both expressible identically in DuckDB. The
+production xxhash64 mode is benchmarked separately (bench.py); the math,
+operators, and plans are byte-for-byte the same either way.
+
+All floating-point folds (Jaccard, cosine) are written as *sequential*
+reductions in both engines so IEEE results are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lsh_qd_spark.config import HASH_M, MERSENNE_P, DedupConfig
+from lsh_qd_spark.functions.minhash import production_coefficients
+from lsh_qd_spark.functions.text import normalize_text, poly_hash, tokens
+from lsh_qd_spark.plans.pipeline import DedupPipeline
+
+ORACLE_CFG = DedupConfig(
+    shingle_k=5,
+    rows_per_band=2,
+    num_bands=8,
+    alpha=1,
+    jaccard_threshold=0.80,
+    seed=42,
+    shingle_hash="poly",
+    max_bucket_size=100_000,  # stay on the exact-pairs path at oracle scale
+)
+
+ANN_N_QUERIES = 10
+ANN_TOP_K = 5
+NEAR_DUP_COSINE = 0.98
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragments mirroring functions/text.py exactly
+# ---------------------------------------------------------------------------
+
+DUCK_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+DUCK_TOKS = (
+    f"list_filter(string_split({DUCK_NORM}, ' '), x -> x <> '')"
+)
+
+
+def duck_poly(expr: str) -> str:
+    """Polynomial char hash — twin of functions/text.py:poly_hash."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> unicode(c))), "
+        f"(acc, x) -> (acc*31 + x) % {HASH_M})"
+    )
+
+
+def duck_shingles_cte(k: int) -> str:
+    """CTEs: norm -> toks -> grams -> sh(doc_id, shingles bigint[])."""
+    return f"""
+toks AS (
+  SELECT doc_id, {DUCK_TOKS} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= {k} THEN
+      list_transform(range(1, len(t) - {k - 2}),
+                     i -> array_to_string(list_slice(t, i, i + {k - 1}), ' '))
+    WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+    ELSE [] END AS g
+  FROM toks
+),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(g, s -> {duck_poly('s')})) AS shingles
+  FROM grams
+)"""
+
+
+def duck_sig_exprs(cfg: DedupConfig) -> list[str]:
+    a, b = production_coefficients(cfg.num_hashes, cfg.seed)
+    return [
+        (
+            f"list_min(list_transform(shingles, h -> "
+            f"(CAST({int(ai)} AS BIGINT) * h + {int(bi)}) % {MERSENNE_P}))"
+        )
+        for ai, bi in zip(a, b)
+    ]
+
+
+def duck_bands_cte(cfg: DedupConfig) -> str:
+    """CTEs through bands(doc_id, band_idx, band_key). Band key = the
+    comma-joined signature slice (operators/band.py 'str' mode)."""
+    sig_exprs = duck_sig_exprs(cfg)
+    sig_cols = ", ".join(
+        f"{e} AS s{j}" for j, e in enumerate(sig_exprs)
+    )
+    band_selects = []
+    r = cfg.rows_per_band
+    for i in range(cfg.num_bands):
+        parts = " || ',' || ".join(
+            f"CAST(s{i * r + j} AS VARCHAR)" for j in range(r)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {i} AS band_idx, {parts} AS band_key FROM sigs"
+        )
+    return f"""{duck_shingles_cte(cfg.shingle_k)},
+sigs AS (
+  SELECT doc_id, {sig_cols} FROM sh WHERE len(shingles) > 0
+),
+bands AS (
+  {' UNION ALL '.join(band_selects)}
+)"""
+
+
+DUCK_PAIRS_CTE = """
+pairs AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_bands
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)"""
+
+
+def duck_verified_cte(threshold: float) -> str:
+    return f"""
+verified AS (
+  SELECT p.id_a, p.id_b,
+         1.0 * len(list_intersect(sa.shingles, sb.shingles))
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b
+  WHERE 1.0 * len(list_intersect(sa.shingles, sb.shingles))
+      / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= {threshold}
+)"""
+
+
+# DuckDB twin of the sequential-fold cosine in operators/ann.py.
+DUCK_COSINE = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), "
+    "(acc, x) -> acc + x) / "
+    "(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x)) * "
+    "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x)))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Query registry
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 of normalized text; groups with ≥2 docs."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            F.md5(normalize_text(F.col("text"))).alias("text_md5"), "doc_id"
+        )
+        .groupBy("text_md5")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+SQL_EXACT_DUP = f"""
+SELECT md5({DUCK_NORM}) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM documents GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token / shingle / normalized-char counts per document."""
+    docs = _docs(spark, sf_dir)
+    pipe = DedupPipeline(ORACLE_CFG)
+    shingled = pipe.shingle(docs)
+    stats = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.length(normalize_text(F.col("text"))).alias("n_chars_norm"),
+    )
+    return stats.join(
+        shingled.select("doc_id", F.size("shingles").alias("n_shingles")),
+        "doc_id",
+    )
+
+
+SQL_DOC_STATS = f"""
+WITH {duck_shingles_cte(ORACLE_CFG.shingle_k)}
+SELECT d.doc_id,
+       len({DUCK_TOKS.replace('text', 'd.text')}) AS n_tokens,
+       length(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS n_chars_norm,
+       len(sh.shingles) AS n_shingles
+FROM documents d JOIN sh ON sh.doc_id = d.doc_id
+"""
+
+
+def _bucket_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = DedupPipeline(ORACLE_CFG)
+    shingled = pipe.shingle(_docs(spark, sf_dir))
+    sigs = pipe.signatures(shingled)
+    return pipe.buckets(sigs, key_mode="str")
+
+
+def q_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH buckets with ≥2 members: the banding stage end-to-end."""
+    return (
+        _bucket_df(spark, sf_dir)
+        .groupBy("band_idx", "band_key")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+SQL_MINHASH_BUCKETS = f"""
+WITH {duck_bands_cte(ORACLE_CFG)}
+SELECT band_idx, band_key, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM bands GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+def q_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs + band-collision counts (AlphaLSH statistic)."""
+    pipe = DedupPipeline(ORACLE_CFG)
+    cand = pipe.pairs(_bucket_df(spark, sf_dir))
+    return cand.select("id_a", "id_b", "n_bands")
+
+
+SQL_CANDIDATE_PAIRS = f"""
+WITH {duck_bands_cte(ORACLE_CFG)},
+{DUCK_PAIRS_CTE}
+SELECT id_a, id_b, n_bands FROM pairs
+"""
+
+
+def q_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-verified near-duplicate pairs (threshold 0.8)."""
+    pipe = DedupPipeline(ORACLE_CFG)
+    docs = _docs(spark, sf_dir)
+    shingled = pipe.shingle(docs)
+    cand = pipe.pairs(pipe.buckets(pipe.signatures(shingled), key_mode="str"))
+    return pipe.verified(cand, shingled).select("id_a", "id_b", "jaccard")
+
+
+SQL_VERIFIED_PAIRS = f"""
+WITH {duck_bands_cte(ORACLE_CFG)},
+{DUCK_PAIRS_CTE},
+{duck_verified_cte(ORACLE_CFG.jaccard_threshold)}
+SELECT id_a, id_b, jaccard FROM verified
+"""
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over verified pairs."""
+    pipe = DedupPipeline(ORACLE_CFG)
+    docs = _docs(spark, sf_dir)
+    shingled = pipe.shingle(docs)
+    cand = pipe.pairs(pipe.buckets(pipe.signatures(shingled), key_mode="str"))
+    ver = pipe.verified(cand, shingled)
+    return pipe.clusters(ver).select("doc_id", "cluster_id")
+
+
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE {duck_bands_cte(ORACLE_CFG)},
+{DUCK_PAIRS_CTE},
+{duck_verified_cte(ORACLE_CFG.jaccard_threshold)},
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION SELECT id_b, id_a FROM verified
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+FROM reach GROUP BY src
+"""
+
+
+def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram (the reference's neighborhood-size statistic,
+    /root/reference/lsh-qd.py:1123-1137, over resolved clusters)."""
+    clusters = q_dup_clusters(spark, sf_dir)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_docs"))
+        .groupBy("n_docs")
+        .agg(F.count("*").alias("n_clusters"))
+    )
+
+
+SQL_CLUSTER_SIZES = f"""
+WITH RECURSIVE {duck_bands_cte(ORACLE_CFG)},
+{DUCK_PAIRS_CTE},
+{duck_verified_cte(ORACLE_CFG.jaccard_threshold)},
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION SELECT id_b, id_a FROM verified
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+clusters AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src
+)
+SELECT n_docs, COUNT(*) AS n_clusters FROM (
+  SELECT cluster_id, COUNT(*) AS n_docs FROM clusters GROUP BY 1
+) GROUP BY 1
+"""
+
+
+def q_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source (training-data bookkeeping)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    return toks.groupBy("source").agg(
+        F.count("*").alias("total_tokens"),
+        F.count_distinct("tok").alias("distinct_tokens"),
+    )
+
+
+SQL_TOKEN_TOTALS = f"""
+SELECT source, COUNT(*) AS total_tokens, COUNT(DISTINCT tok) AS distinct_tokens
+FROM (SELECT source, unnest({DUCK_TOKS}) AS tok FROM documents)
+GROUP BY source
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: polynomial rolling hash of normalized text."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", poly_hash(normalize_text(F.col("text"))).alias("fingerprint")
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id, {duck_poly(DUCK_NORM)} AS fingerprint FROM documents
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features: length, lexical diversity, stopword ratio."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("distinct_ratio"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin("the", "a", "and", "of")))
+            / F.size(toks)
+        ).alias("stopword_ratio"),
+    ).where(F.size(toks) > 0)
+
+
+SQL_QUALITY_SCORES = f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       1.0 * len(list_distinct(t)) / len(t) AS distinct_ratio,
+       1.0 * len(list_filter(t, x -> x IN ('the', 'a', 'and', 'of'))) / len(t)
+         AS stopword_ratio
+FROM toks WHERE len(t) > 0
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language heuristic (n-gram-free deterministic variant)."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    markers = {"en": ("the", "and"), "de": ("der", "und"), "fr": ("le", "et"), "es": ("el", "y")}
+    counts = [
+        F.size(F.filter(toks, lambda t, ws=ws: t.isin(*ws))).alias(f"c_{lang}")
+        for lang, ws in markers.items()
+    ]
+    scored = docs.select("doc_id", *counts)
+    best = F.greatest(*[F.col(f"c_{lg}") for lg in markers])
+    guess = F.when(best == 0, F.lit("und"))
+    for lg in markers:  # first max wins, fixed order
+        guess = guess.when(F.col(f"c_{lg}") == best, F.lit(lg))
+    return scored.select("doc_id", guess.alias("lang_guess"))
+
+
+SQL_LANGID = f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
+scored AS (
+  SELECT doc_id,
+    len(list_filter(t, x -> x IN ('the','and'))) AS c_en,
+    len(list_filter(t, x -> x IN ('der','und'))) AS c_de,
+    len(list_filter(t, x -> x IN ('le','et'))) AS c_fr,
+    len(list_filter(t, x -> x IN ('el','y'))) AS c_es
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN greatest(c_en,c_de,c_fr,c_es) = 0 THEN 'und'
+       WHEN c_en = greatest(c_en,c_de,c_fr,c_es) THEN 'en'
+       WHEN c_de = greatest(c_en,c_de,c_fr,c_es) THEN 'de'
+       WHEN c_fr = greatest(c_en,c_de,c_fr,c_es) THEN 'fr'
+       ELSE 'es' END AS lang_guess
+FROM scored
+"""
+
+
+def _cosine_expr(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (na * nb)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the ANN baseline; broadcast query side)."""
+    from pyspark.sql import Window
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    joined = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine_expr(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+SQL_ANN_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {ANN_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {DUCK_COSINE.format(a='q.qe', b='e.embedding')} AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {ANN_TOP_K}
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force; the oracle twin
+    of the LSH-accelerated variant in operators/ann.py)."""
+    emb = _embeddings(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", _cosine_expr(F.col("ea"), F.col("eb")).alias("cosine")
+        )
+        .where(F.col("cosine") >= NEAR_DUP_COSINE)
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {DUCK_COSINE.format(a='a.embedding', b='b.embedding')} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {DUCK_COSINE.format(a='a.embedding', b='b.embedding')} >= {NEAR_DUP_COSINE}
+"""
+
+
+SQL_QUERIES: dict[str, str] = {
+    "exact_dup_clusters": SQL_EXACT_DUP,
+    "doc_stats": SQL_DOC_STATS,
+    "minhash_buckets": SQL_MINHASH_BUCKETS,
+    "candidate_pairs": SQL_CANDIDATE_PAIRS,
+    "verified_pairs": SQL_VERIFIED_PAIRS,
+    "dup_clusters": SQL_DUP_CLUSTERS,
+    "cluster_sizes": SQL_CLUSTER_SIZES,
+    "token_totals": SQL_TOKEN_TOTALS,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "langid": SQL_LANGID,
+    "ann_cosine_topk": SQL_ANN_TOPK,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+}
+
+SPARK_QUERIES = {
+    "exact_dup_clusters": q_exact_dup_clusters,
+    "doc_stats": q_doc_stats,
+    "minhash_buckets": q_minhash_buckets,
+    "candidate_pairs": q_candidate_pairs,
+    "verified_pairs": q_verified_pairs,
+    "dup_clusters": q_dup_clusters,
+    "cluster_sizes": q_cluster_sizes,
+    "token_totals": q_token_totals,
+    "doc_fingerprint": q_doc_fingerprint,
+    "quality_scores": q_quality_scores,
+    "langid": q_langid,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+}

@@ -1,0 +1,209 @@
+"""DedupPipeline — the staged, resumable dedup dataflow.
+
+Replaces the reference's ``LSHContainer`` facade
+(``/root/reference/lsh-qd.py:318-350``): where the container loops rows into
+dict tables, the pipeline declares five DataFrame stages and lets Catalyst
+plan them:
+
+    docs → shingle → sign → band → pairs → verify → cluster
+
+Each stage can be materialized to parquet with a manifest (config hash +
+row count + per-partition lineage); a rerun with the same config hash reuses
+completed stages — the north rule's "resume from checkpointed
+signature/bucket/cluster stages". Without a checkpoint dir the pipeline runs
+fully lazy/pipelined.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lsh_qd_spark.config import DedupConfig
+from lsh_qd_spark.functions.minhash import production_minhash_udf
+from lsh_qd_spark.functions.text import shingles as shingles_expr
+from lsh_qd_spark.operators.band import band_buckets
+from lsh_qd_spark.operators.cluster import connected_components
+from lsh_qd_spark.operators.pairs import candidate_pairs
+from lsh_qd_spark.operators.verify import verify_pairs
+
+STAGES = ["shingles", "signatures", "buckets", "pairs", "verified", "clusters"]
+
+
+@dataclass
+class StageMetrics:
+    rows: int
+    seconds: float
+    partitions: int
+    partition_rows: dict = field(default_factory=dict)
+
+
+class StageStore:
+    """Manifest-guarded parquet materialization for resume + lineage."""
+
+    def __init__(self, spark: SparkSession, root: str, config_hash: str):
+        self.spark = spark
+        self.root = root
+        self.config_hash = config_hash
+        os.makedirs(root, exist_ok=True)
+
+    def _paths(self, stage: str) -> tuple[str, str]:
+        return (
+            os.path.join(self.root, stage),
+            os.path.join(self.root, f"{stage}.manifest.json"),
+        )
+
+    def load(self, stage: str) -> DataFrame | None:
+        data_path, manifest_path = self._paths(stage)
+        if not os.path.exists(manifest_path):
+            return None
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        if manifest.get("config_hash") != self.config_hash:
+            return None
+        return self.spark.read.parquet(data_path)
+
+    def save(self, stage: str, df: DataFrame) -> tuple[DataFrame, StageMetrics]:
+        data_path, manifest_path = self._paths(stage)
+        t0 = time.time()
+        df.write.mode("overwrite").parquet(data_path)
+        out = self.spark.read.parquet(data_path)
+        # Per-partition lineage: rows per output partition (north rule:
+        # "per-partition lineage and metrics").
+        part_rows = {
+            str(r["pid"]): r["n"]
+            for r in out.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
+        metrics = StageMetrics(
+            rows=sum(part_rows.values()),
+            seconds=round(time.time() - t0, 3),
+            partitions=len(part_rows),
+            partition_rows=part_rows,
+        )
+        with open(manifest_path, "w") as f:
+            json.dump(
+                {
+                    "stage": stage,
+                    "config_hash": self.config_hash,
+                    "rows": metrics.rows,
+                    "seconds": metrics.seconds,
+                    "partitions": metrics.partitions,
+                    "partition_rows": metrics.partition_rows,
+                },
+                f,
+                indent=2,
+            )
+        return out, metrics
+
+
+class DedupPipeline:
+    """End-to-end near-duplicate detection over a documents DataFrame."""
+
+    def __init__(
+        self,
+        config: DedupConfig | None = None,
+        checkpoint_dir: str | None = None,
+    ):
+        self.config = config or DedupConfig()
+        self.checkpoint_dir = checkpoint_dir
+        self.metrics: dict[str, StageMetrics] = {}
+
+    # --- individual stages (each usable standalone) -------------------
+
+    def shingle(
+        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        """(doc_id, shingles): distinct k-gram shingle hashes; empty docs
+        yield empty arrays and are dropped downstream (reference empty-set
+        skip, /root/reference/lsh-qd.py:196-197)."""
+        c = self.config
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            shingles_expr(F.col(text_col), c.shingle_k, c.shingle_hash).alias(
+                "shingles"
+            ),
+        )
+
+    def signatures(self, shingled: DataFrame) -> DataFrame:
+        """(doc_id, sig): flat band-major MinHash signature."""
+        c = self.config
+        udf = production_minhash_udf(c.num_hashes, c.seed)
+        return (
+            shingled.where(F.size("shingles") > 0)
+            .select("doc_id", udf(F.col("shingles")).alias("sig"))
+            .where(F.col("sig").isNotNull())
+        )
+
+    def buckets(self, sigs: DataFrame, key_mode: str = "xxhash64") -> DataFrame:
+        c = self.config
+        return band_buckets(sigs, c.rows_per_band, c.num_bands, key_mode)
+
+    def pairs(self, buckets: DataFrame) -> DataFrame:
+        c = self.config
+        return candidate_pairs(
+            buckets, alpha=c.alpha, max_bucket_size=c.max_bucket_size
+        )
+
+    def verified(self, pairs: DataFrame, shingled: DataFrame) -> DataFrame:
+        return verify_pairs(pairs, shingled, self.config.jaccard_threshold)
+
+    def clusters(
+        self, verified: DataFrame, vertices: DataFrame | None = None
+    ) -> DataFrame:
+        return connected_components(verified, vertices)
+
+    # --- full run ------------------------------------------------------
+
+    def run(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        include_singletons: bool = False,
+    ) -> dict[str, DataFrame]:
+        """Run all stages; returns every stage DataFrame keyed by name.
+
+        With ``checkpoint_dir`` set, each stage is materialized with a
+        manifest and reruns resume from the first incomplete stage.
+        """
+        spark = docs.sparkSession
+        store = (
+            StageStore(spark, self.checkpoint_dir, self.config.config_hash())
+            if self.checkpoint_dir
+            else None
+        )
+
+        def stage(name: str, build) -> DataFrame:
+            if store is not None:
+                cached = store.load(name)
+                if cached is not None:
+                    return cached
+            df = build()
+            if store is not None:
+                df, metrics = store.save(name, df)
+                self.metrics[name] = metrics
+            return df
+
+        shingled = stage("shingles", lambda: self.shingle(docs, text_col, id_col))
+        sigs = stage("signatures", lambda: self.signatures(shingled))
+        bucketed = stage("buckets", lambda: self.buckets(sigs))
+        cand = stage("pairs", lambda: self.pairs(bucketed))
+        ver = stage("verified", lambda: self.verified(cand, shingled))
+        vertices = sigs.select("doc_id") if include_singletons else None
+        clustered = stage("clusters", lambda: self.clusters(ver, vertices))
+        return {
+            "shingles": shingled,
+            "signatures": sigs,
+            "buckets": bucketed,
+            "pairs": cand,
+            "verified": ver,
+            "clusters": clustered,
+        }

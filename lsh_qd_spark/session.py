@@ -1,0 +1,46 @@
+"""SparkSession construction with the engine's standard configuration."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from lsh_qd_spark.config import RuntimeConfig
+
+
+def get_spark(
+    app_name: str = "lsh_qd_spark",
+    master: str | None = None,
+    runtime: RuntimeConfig | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the dedup pipeline.
+
+    AQE is on (runtime coalescing + skew-join splitting for the candidate
+    self-join, SURVEY.md §4); Arrow is on for pandas-UDF kernels; timezone is
+    pinned UTC for DuckDB-oracle comparability.
+    """
+    runtime = runtime or RuntimeConfig()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(runtime.shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(runtime.arrow_max_records_per_batch),
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    if master:
+        builder = builder.master(master)
+    for k, v in runtime.extra_confs.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

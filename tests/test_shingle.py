@@ -1,0 +1,69 @@
+"""Shingle front-end: determinism, normalization, edge cases."""
+
+from pyspark.sql import functions as F
+
+from lsh_qd_spark.functions.text import (
+    normalize_text,
+    poly_hash,
+    shingle_strings,
+    shingles,
+)
+from lsh_qd_spark.config import HASH_M
+
+
+def _one(spark, text, expr):
+    return spark.createDataFrame([(text,)], "t string").select(
+        expr(F.col("t")).alias("v")
+    ).first()["v"]
+
+
+def test_normalize(spark):
+    assert (
+        _one(spark, "  Hello\t\tWorld\n  again ", normalize_text)
+        == "hello world again"
+    )
+
+
+def test_shingle_strings_basic(spark):
+    got = _one(spark, "a b c d e f", lambda c: shingle_strings(c, 5))
+    assert got == ["a b c d e", "b c d e f"]
+
+
+def test_shingle_short_doc_single_gram(spark):
+    got = _one(spark, "a b c", lambda c: shingle_strings(c, 5))
+    assert got == ["a b c"]
+
+
+def test_shingle_empty_and_whitespace(spark):
+    assert _one(spark, "", lambda c: shingle_strings(c, 5)) == []
+    assert _one(spark, " \t \n ", lambda c: shingle_strings(c, 5)) == []
+
+
+def test_shingle_distinct(spark):
+    got = _one(spark, "x x x x x x x x", lambda c: shingle_strings(c, 5))
+    assert got == ["x x x x x"]
+
+
+def test_shingles_deterministic_across_runs(spark):
+    text = "The quick brown fox jumps over the lazy dog again and again"
+    a = _one(spark, text, lambda c: shingles(c, 5))
+    b = _one(spark, text, lambda c: shingles(c, 5))
+    assert a == b and len(a) > 0
+
+
+def test_poly_hash_matches_python(spark):
+    s = "hello world"
+    expected = 0
+    for ch in s:
+        expected = (expected * 31 + ord(ch)) % HASH_M
+    assert _one(spark, s, poly_hash) == expected
+
+
+def test_byte_identical_invariant(spark):
+    """Same text → identical normalized text and shingle IDs, independent of
+    partitioning (per-row invariant, BASELINE.json input_hint)."""
+    rows = [(i, "Some Page   Text %d" % (i % 3),) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    one = df.coalesce(1).select(normalize_text(F.col("t")).alias("n")).collect()
+    many = df.repartition(7).select(normalize_text(F.col("t")).alias("n")).collect()
+    assert sorted(r["n"] for r in one) == sorted(r["n"] for r in many)
