@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship near-dup query at sf0.001;
+``queries()``/``oracle_sql()`` expose every SQL-expressible operator of the
+engine (see lsh_qd_spark/oracle.py) plus the non-SQL-expressible kernels
+(SimHash banding, p-stable bucketing, suffix-array exact overlap) as
+rows-only checks.
 """
 
 from __future__ import annotations
@@ -15,24 +15,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: Jaccard-verified near-duplicate pairs over the
+    sf0.001 documents table (full shingle→minhash→band→pairs→verify run)."""
+    from lsh_qd_spark.oracle import q_verified_pairs
+
+    return q_verified_pairs(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from lsh_qd_spark import oracle
+    from lsh_qd_spark import extra_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(oracle.SPARK_QUERIES)
+    out.update(extra_queries.SPARK_ONLY_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lsh_qd_spark import oracle
+
+    return dict(oracle.SQL_QUERIES)

@@ -389,10 +389,13 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
     markers = {"en": ("the", "and"), "de": ("der", "und"), "fr": ("le", "et"), "es": ("el", "y")}
-    counts = [
-        F.size(F.filter(toks, lambda t, ws=ws: t.isin(*ws))).alias(f"c_{lang}")
-        for lang, ws in markers.items()
-    ]
+
+    def marker_count(ws):
+        # closure factory: a default arg would be introspected as a second
+        # lambda parameter by F.filter
+        return F.size(F.filter(toks, lambda t: t.isin(*ws)))
+
+    counts = [marker_count(ws).alias(f"c_{lang}") for lang, ws in markers.items()]
     scored = docs.select("doc_id", *counts)
     best = F.greatest(*[F.col(f"c_{lg}") for lg in markers])
     guess = F.when(best == 0, F.lit("und"))
