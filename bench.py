@@ -1,0 +1,247 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": "total_bench_sec", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "pages_per_sec": ..., "scaling": {...}}
+
+Three parts:
+1. Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+   production hash mode (xxhash64), on local[$SPARK_GRAFT_CPUS].
+2. End-to-end dedup throughput (pages/sec) on a deterministic synthetic
+   crawl of $SPARK_GRAFT_BENCH_DOCS pages (default 120k) — the corpus the
+   north rule actually cares about (the driver tables are only 5k rows).
+3. Scaling evidence: the same dedup job at local[8] vs local[32] via child
+   processes; efficiency = (rate_4N / rate_N) / 4, target ≥ 0.8
+   (BASELINE.md). Results also written to BENCH/BASELINE.md.
+
+Run `python bench.py` (the driver does). `--skip-scaling` for quick loops.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
+BENCH_CORPUS_DIR = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/dev/shm/lsh_qd_bench")
+# num_bands=8 comes from the planner (params.get_k_l_minhash semantics):
+# detect probability at J=0.70 with k=2,l=8 is 1-(1-0.49)^8 ≈ 0.9954.
+BENCH_CFG = dict(
+    shingle_k=5,
+    rows_per_band=2,
+    num_bands=8,
+    jaccard_threshold=0.70,
+    max_bucket_size=500,
+    shingle_hash="fast",
+)
+
+
+def _session(cpus: int):
+    from lsh_qd_spark.config import RuntimeConfig
+    from lsh_qd_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"bench_local{cpus}",
+        master=f"local[{cpus}]",
+        runtime=RuntimeConfig(shuffle_partitions=max(8, cpus)),
+    )
+
+
+def _bench_pages_path(n_docs: int) -> str:
+    return f"{BENCH_CORPUS_DIR}/pages_{n_docs}"
+
+
+def _ensure_corpus(spark, n_docs: int) -> str:
+    """Materialize the deterministic bench corpus once (generation excluded
+    from the timed window)."""
+    from lsh_qd_spark.synth import SynthConfig, generate_pages
+
+    path = _bench_pages_path(n_docs)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        cfg = SynthConfig(n_docs=n_docs, seed=42)
+        generate_pages(spark, cfg).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_dedup_job(spark, pages_path: str) -> tuple[int, float]:
+    """The timed unit: read → shingle → sign → band → pairs → verify →
+    cluster → count. Returns (n_pages, seconds)."""
+    from lsh_qd_spark.config import DedupConfig
+    from lsh_qd_spark.plans.pipeline import DedupPipeline
+
+    pages = spark.read.parquet(pages_path)
+    n_pages = pages.count()
+    pipe = DedupPipeline(DedupConfig(**BENCH_CFG))
+    t0 = time.time()
+    out = pipe.run(pages)
+    out["clusters"].count()
+    return n_pages, time.time() - t0
+
+
+def headline_queries(spark) -> dict[str, float]:
+    """Representative operator timings over the driver sf tables."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from lsh_qd_spark.config import DedupConfig
+    from lsh_qd_spark.plans.pipeline import DedupPipeline
+
+    qs = entrymod.queries()
+    chosen = [
+        "exact_dup_clusters",
+        "token_totals",
+        "quality_scores",
+        "ann_cosine_topk",
+        "simhash_near_dup",
+    ]
+    times: dict[str, float] = {}
+    for name in chosen:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
+        times[name] = round(time.time() - t0, 3)
+
+    # production-mode (xxhash64) dedup over the sf documents table
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pipe = DedupPipeline(DedupConfig(**BENCH_CFG))
+    t0 = time.time()
+    out = pipe.run(docs)
+    out["clusters"].count()
+    times["dedup_pipeline_prod"] = round(time.time() - t0, 3)
+    return times
+
+
+# N vs 4N parallelism pair for the scaling evidence. 4/16 rather than 8/32:
+# the sandbox shares its host (observed steal time up to ~13%), and a fully
+# saturated local[32] measures the neighbors, not the engine.
+SCALE_CPUS = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_CPUS", "4,16").split(",")
+)
+SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
+
+
+def worker(cpus: int, out_path: str) -> None:
+    spark = _session(cpus)
+    path = _ensure_corpus(spark, BENCH_DOCS)
+    # warm JVM + python UDF workers outside the timed window
+    from lsh_qd_spark.config import DedupConfig
+    from lsh_qd_spark.plans.pipeline import DedupPipeline
+
+    DedupPipeline(DedupConfig(**BENCH_CFG)).signatures_from_text(
+        spark.read.parquet(path).limit(2000)
+    ).count()
+    # min-of-N trials: host interference is strictly additive noise
+    best = None
+    n_pages = 0
+    for _ in range(SCALE_TRIALS):
+        n_pages, secs = run_dedup_job(spark, path)
+        best = secs if best is None else min(best, secs)
+    with open(out_path, "w") as f:
+        json.dump({"cpus": cpus, "n_pages": n_pages, "sec": best}, f)
+    spark.stop()
+
+
+def run_scaling() -> dict:
+    n, n4 = SCALE_CPUS
+    results = {}
+    for cpus in SCALE_CPUS:
+        out_path = f"/tmp/lsh_qd_bench_scale_{cpus}.json"
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus), out_path],
+            capture_output=True,
+            timeout=1800,
+            cwd=REPO,
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr.decode()[-2000:])
+            raise RuntimeError(f"scaling worker local[{cpus}] failed")
+        with open(out_path) as f:
+            results[cpus] = json.load(f)
+    rate_n = results[n]["n_pages"] / results[n]["sec"]
+    rate_4n = results[n4]["n_pages"] / results[n4]["sec"]
+    eff = (rate_4n / rate_n) / (n4 / n)
+    return {
+        "n_pages": results[n]["n_pages"],
+        "cpus_n": n,
+        "cpus_4n": n4,
+        "n_sec": round(results[n]["sec"], 2),
+        "4n_sec": round(results[n4]["sec"], 2),
+        "n_pages_per_sec": round(rate_n, 1),
+        "4n_pages_per_sec": round(rate_4n, 1),
+        "scaling_efficiency_n_to_4n": round(eff, 3),
+    }
+
+
+def write_bench_md(payload: dict) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    s = payload.get("scaling") or {}
+    lines = [
+        "# BENCH — measured throughput & scaling",
+        "",
+        f"- corpus: deterministic synthetic pages, n={s.get('n_pages', BENCH_DOCS)}",
+        f"- config: {BENCH_CFG}",
+        f"- end-to-end dedup (shingle→minhash→band→pairs→verify→cluster)",
+        "",
+        "| parallelism | wall (s) | pages/sec |",
+        "|---|---|---|",
+        f"| local[{s.get('cpus_n')}] (N) | {s.get('n_sec')} | {s.get('n_pages_per_sec')} |",
+        f"| local[{s.get('cpus_4n')}] (4N) | {s.get('4n_sec')} | {s.get('4n_pages_per_sec')} |",
+        "",
+        f"**Scaling efficiency N→4N: {s.get('scaling_efficiency_n_to_4n')}**"
+        " (target ≥ 0.8 per BASELINE.json; sandbox proxy for N vs 4N executors"
+        " per the driver instruction).",
+        "",
+        f"Headline per-query seconds at {payload.get('sf')}: "
+        f"`{json.dumps(payload.get('queries', {}))}`",
+        f"Single-session (local[{CPUS}]) dedup throughput: "
+        f"{payload.get('pages_per_sec')} pages/sec.",
+    ]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main() -> None:
+    if len(sys.argv) >= 4 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), sys.argv[3])
+        return
+    skip_scaling = "--skip-scaling" in sys.argv
+
+    t_start = time.time()
+    spark = _session(CPUS)
+    times = headline_queries(spark)
+    pages_path = _ensure_corpus(spark, BENCH_DOCS)
+    n_pages, dedup_sec = run_dedup_job(spark, pages_path)
+    times["dedup_bench_corpus"] = round(dedup_sec, 3)
+    pages_per_sec = round(n_pages / dedup_sec, 1)
+    spark.stop()
+
+    scaling = None
+    if not skip_scaling:
+        scaling = run_scaling()
+
+    payload = {
+        "metric": "total_bench_sec",
+        "value": round(time.time() - t_start, 2),
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR,
+        "bench_docs": n_pages,
+        "pages_per_sec": pages_per_sec,
+        "scaling": scaling,
+    }
+    write_bench_md(payload)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,9 +35,11 @@ class DedupConfig:
     alpha: int = 1  # min #bands a pair must collide in (AlphaLSH, lsh-qd.py:286-297)
     jaccard_threshold: float = 0.8  # verify gate (north rule)
     seed: int = 42  # matches reference default (lsh-qd.py:20)
-    # 'xxhash64' = production (JVM-side, fast); 'poly' = portable polynomial
-    # hash expressible in both Spark SQL and DuckDB (oracle parity).
-    shingle_hash: str = "xxhash64"
+    # 'fast' = fused NumPy tokenize+shingle+minhash kernel (production;
+    # functions/fast_shingle.py); 'xxhash64' = JVM higher-order-function
+    # path; 'poly' = portable polynomial hash expressible in both Spark SQL
+    # and DuckDB (oracle parity).
+    shingle_hash: str = "fast"
     max_bucket_size: int = 2000  # buckets larger than this use star pairing
     salt_partitions: int = 0  # >0 adds a salt column to pair-count groupBy
     min_exact_overlap: int = 50  # suffix-array exact-overlap threshold (chars)
@@ -63,5 +65,5 @@ class RuntimeConfig:
     """
 
     shuffle_partitions: int = 32
-    arrow_max_records_per_batch: int = 2048  # bound NumPy batch memory in UDFs
+    arrow_max_records_per_batch: int = 10000  # bound NumPy batch memory in UDFs
     extra_confs: dict = field(default_factory=dict)

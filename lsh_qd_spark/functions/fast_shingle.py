@@ -1,0 +1,93 @@
+"""Fused text → shingle-set → signature kernels (the production hot path).
+
+Why this exists: the JVM higher-order-function shingle expression
+(functions/text.py) is *interpreted* by Catalyst — nested
+``transform``/``slice``/``concat_ws`` lambdas fall out of whole-stage
+codegen and cost ~3 ms/doc. This kernel does tokenize → k-gram → hash →
+MinHash in ONE Arrow-batched pandas UDF at ~0.1 ms/doc:
+
+- tokens: ``text.lower().split()`` (same normalization semantics as
+  functions/text.py — lowercase + any-whitespace split, deterministic per
+  byte-identical text);
+- token hash: zlib.crc32 (C speed, stable across processes/platforms);
+- k-gram shingle id: rolling polynomial combine of k consecutive token
+  hashes in uint64 wraparound arithmetic (golden-ratio odd multiplier) —
+  vectorized over the whole document; duplicates dropped via ``np.unique``
+  (the set semantics of /root/reference/lsh-qd.py:195);
+- MinHash: the per-hash 1-D loop of functions/minhash.py on the
+  concatenated batch.
+
+The intermediate shingle column never materializes for the full corpus:
+signatures come straight from text, and the verify stage re-derives shingle
+sets only for candidate-pair documents (a small fraction of the corpus).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lsh_qd_spark.config import HASH_M, MERSENNE_P
+from lsh_qd_spark.functions.minhash import minhash_matrix, production_coefficients
+
+_B = np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit golden-ratio multiplier
+
+
+def shingle_set(text: str | None, k: int) -> np.ndarray | None:
+    """Distinct k-gram shingle ids (uint64) of one document; None if empty."""
+    if not text:
+        return None
+    toks = text.lower().split()
+    n = len(toks)
+    if n == 0:
+        return None
+    c = np.fromiter(
+        (zlib.crc32(t.encode()) for t in toks), dtype=np.uint64, count=n
+    )
+    m = min(n, k)
+    acc = np.zeros(n - m + 1, dtype=np.uint64)
+    for j in range(m):
+        acc = acc * _B + c[j : n - m + 1 + j]
+    return np.unique(acc)
+
+
+def shingle_sets(texts, k: int) -> list:
+    return [shingle_set(t, k) for t in texts]
+
+
+def make_text_minhash_udf(num_hashes: int, k: int, seed: int = 42):
+    """text → MinHash signature array<long>; NULL for empty documents
+    (the reference's empty-set skip, /root/reference/lsh-qd.py:196-197)."""
+    a, b = production_coefficients(num_hashes, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def text_minhash(texts: pd.Series) -> pd.Series:
+        sets = shingle_sets(texts, k)
+        arrays = [None if s is None else s.view(np.int64) for s in sets]
+        mat = minhash_matrix(arrays, a, b, MERSENNE_P, HASH_M)
+        return pd.Series(
+            [
+                None if s is None else row.tolist()
+                for s, row in zip(sets, mat)
+            ]
+        )
+
+    return text_minhash
+
+
+def make_text_shingles_udf(k: int):
+    """text → array<long> of distinct shingle ids (for verify/simhash on
+    candidate documents only)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def text_shingles(texts: pd.Series) -> pd.Series:
+        sets = shingle_sets(texts, k)
+        return pd.Series(
+            [None if s is None else s.view(np.int64).tolist() for s in sets]
+        )
+
+    return text_shingles

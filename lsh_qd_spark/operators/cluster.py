@@ -17,18 +17,78 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_union_find(edges_pdf, vert_ids) -> "object":
+    """Vectorized NumPy connected components for in-driver edge sets:
+    hash-min label propagation with pointer jumping — O(E) NumPy work per
+    pass, O(log n) passes. No Python-level per-edge loop."""
+    import numpy as np
+    import pandas as pd
+
+    src = edges_pdf["src"].to_numpy(dtype=np.int64)
+    dst = edges_pdf["dst"].to_numpy(dtype=np.int64)
+    parts = [src, dst]
+    if vert_ids is not None:
+        parts.append(np.asarray(vert_ids, dtype=np.int64))
+    ids = np.unique(np.concatenate(parts))
+    si = np.searchsorted(ids, src)
+    di = np.searchsorted(ids, dst)
+    labels = np.arange(len(ids), dtype=np.int64)
+    while True:
+        prev = labels
+        nxt = labels.copy()
+        # adopt the smaller label across each edge (both directions)
+        np.minimum.at(nxt, si, labels[di])
+        np.minimum.at(nxt, di, labels[si])
+        # pointer jumping: follow labels-of-labels (ids sorted ascending →
+        # index order == id order, so min index == min id)
+        nxt = np.minimum(nxt, nxt[nxt])
+        if np.array_equal(nxt, prev):
+            break
+        labels = nxt
+    return pd.DataFrame(
+        {"doc_id": ids, "cluster_id": ids[labels]}
+    )
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     max_iter: int = 25,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    driver_edge_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(doc_id, cluster_id) with cluster_id = min doc_id of the component.
 
     ``vertices`` (single column ``doc_id``) optionally adds singleton
     vertices (clusters of size 1 — documents with no duplicate).
+
+    Small edge sets (≤ ``driver_edge_threshold``) short-circuit to a
+    driver-side union-find: the distributed hash-min loop costs several
+    shuffle rounds of fixed latency, which dominates when the graph fits in
+    driver memory (the common case after Jaccard verification — edges are
+    a tiny fraction of the corpus). Set the threshold to 0 to force the
+    distributed path (tests do). Labels are identical either way: min
+    doc_id per component.
     """
+    if driver_edge_threshold > 0:
+        n_edges = edges.count()
+        if n_edges <= driver_edge_threshold:
+            spark = edges.sparkSession
+            pdf = edges.select(
+                F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+            ).toPandas()
+            vert_ids = (
+                vertices.select("doc_id").toPandas()["doc_id"].to_numpy()
+                if vertices is not None
+                else None
+            )
+            if len(pdf) == 0 and (vert_ids is None or len(vert_ids) == 0):
+                return spark.createDataFrame(
+                    [], "doc_id long, cluster_id long"
+                )
+            result = _driver_union_find(pdf, vert_ids)
+            return spark.createDataFrame(result)
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -40,25 +100,50 @@ def connected_components(
     labels = verts.withColumn("label", F.col("doc_id")).localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
 
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.src == labels.doc_id)
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(
+            nbr_min, labels.doc_id == nbr_min.dst, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+            (F.col("nbr_label") < F.col("label")).alias("_changed"),
+        )
+        # pointer jumping: adopt the label of one's label — turns the
+        # one-hop-per-round min walk into O(log diameter) rounds (the
+        # "short-cutting" of Shiloach-Vishkin style CC)
+        parents = stepped.select(
+            F.col("doc_id").alias("_pid"), F.col("label").alias("_plabel")
+        )
+        # lazy checkpoint: the convergence count below materializes it —
+        # one job per iteration instead of two
         new_labels = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.dst, "left")
+            stepped.join(parents, stepped.label == parents._pid, "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("_plabel"), F.col("label"))
                 ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+                (
+                    F.col("_changed") | (F.col("_plabel") < F.col("label"))
+                ).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_changed = new_labels.where(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))

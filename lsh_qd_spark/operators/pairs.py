@@ -78,30 +78,62 @@ def candidate_pairs(
     from oversized buckets are kept regardless of alpha and flagged.
     """
     if two_phase:
-        # Phase 1: bucket sizes + representative (cheap partial agg).
+        # Phase 1 (narrow shuffle): bucket sizes + representative. Keys of
+        # oversized buckets are COLLECTED to the driver and broadcast —
+        # by construction there are at most (total_rows / cap) of them, and
+        # in practice a handful (boilerplate/empty-page clusters). This
+        # replaces a full-table sort-merge join of bucket rows against
+        # their sizes with two map-side broadcast joins.
+        spark = buckets.sparkSession
         sizes = buckets.groupBy("band_idx", "band_key").agg(
             F.count("*").alias("bucket_n"), F.min("doc_id").alias("rep")
         )
-        # Phase 2: re-shuffle members to their bucket (same key → AQE/exchange
-        # reuse) and split small/large WITHOUT ever collecting a mega-bucket.
-        joined = buckets.join(sizes, ["band_idx", "band_key"])
-        small = (
-            joined.where(F.col("bucket_n") <= max_bucket_size)
-            .groupBy("band_idx", "band_key")
-            .agg(F.sort_array(F.collect_set("doc_id")).alias("members"))
+        big = sizes.where(F.col("bucket_n") > max_bucket_size).select(
+            "band_idx", "band_key", "rep"
+        )
+        big_rows = big.limit(100_000).collect()
+        if big_rows:
+            big_df = F.broadcast(spark.createDataFrame(big_rows, big.schema))
+            small_buckets = buckets.join(
+                big_df.select("band_idx", "band_key"),
+                ["band_idx", "band_key"],
+                "left_anti",
+            )
+            # STAR edges for mega-buckets: (rep, member) — O(n) per bucket,
+            # keeps the component connected without O(n^2) pairs.
+            large_pairs = (
+                buckets.join(big_df, ["band_idx", "band_key"])
+                .where(F.col("doc_id") != F.col("rep"))
+                .select(F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+                .distinct()
+            )
+        else:
+            small_buckets = buckets
+            large_pairs = None
+        # Phase 2 (one wide shuffle): bounded collect per bucket + JVM pair
+        # explosion. Singleton buckets are dropped before expansion.
+        members = (
+            small_buckets.groupBy("band_idx", "band_key")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
             .where(F.size("members") >= 2)
         )
-        small_pairs = small.select(
+        small_pairs = members.select(
             F.explode(_full_pairs(F.col("members"))).alias("pr")
         ).select(F.col("pr.id_a"), F.col("pr.id_b"))
-        large_pairs = (
-            joined.where(
-                (F.col("bucket_n") > max_bucket_size)
-                & (F.col("doc_id") != F.col("rep"))
-            )
-            .select(F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b"))
-            .distinct()
+        counted = (
+            small_pairs.groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_bands"))
+            .where(F.col("n_bands") >= alpha)
+            .withColumn("via_star", F.lit(False))
         )
+        if large_pairs is None:
+            return counted
+        stars = large_pairs.join(
+            counted.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+        ).select(
+            "id_a", "id_b", F.lit(0).alias("n_bands"), F.lit(True).alias("via_star")
+        )
+        return counted.unionByName(stars)
     else:
         grouped = bucket_members(buckets, max_bucket_size)
         small_pairs = (

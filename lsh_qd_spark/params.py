@@ -1,0 +1,212 @@
+"""Driver-side LSH parameter planning (SURVEY.md §2.8, M1–M9).
+
+Re-derivation of the reference's collision-probability math and grid
+searches — pure NumPy, runs on the driver, no cluster work. Semantics match
+the reference (cited per function); implementation is fresh and fixes its
+latent empty-grid IndexError (``/root/reference/lsh-qd.py:907-910``).
+
+Terminology (reference convention, lsh-qd.py:20-27): ``k`` = hashes AND-ed
+per band/table ("rows"), ``l`` = number of bands/tables OR-ed.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import lru_cache
+
+import numpy as np
+
+
+def collision_prob(sim, k: int, l: int):
+    """P(collide in ≥1 of l bands) = 1 - (1 - s^k)^l — the S-curve of
+    /root/reference/lsh-qd.py:442-455."""
+    sim = np.asarray(sim, dtype=np.float64)
+    return 1.0 - (1.0 - sim**k) ** l
+
+
+def collision_prob_alpha(sim, k: int, l: int, alpha: int):
+    """P(collide in ≥ alpha of l bands): binomial upper tail
+    Σ_{i≥α} C(l,i) (s^k)^i (1-s^k)^(l-i) — lsh-qd.py:458-488.
+    alpha=1 reduces exactly to collision_prob (consistency check at
+    lsh-qd.py:470-477)."""
+    sim = np.asarray(sim, dtype=np.float64)
+    p = sim**k
+    out = np.zeros_like(p)
+    for i in range(alpha, l + 1):
+        out += math.comb(l, i) * p**i * (1.0 - p) ** (l - i)
+    return out
+
+
+def gaussian_pdf(x):
+    """Standard normal pdf — lsh-qd.py:491-498 / lsh.py:583-590."""
+    x = np.asarray(x, dtype=np.float64)
+    return np.exp(-(x**2) / 2.0) / math.sqrt(2.0 * math.pi)
+
+
+@lru_cache(maxsize=4096)
+def _pstable_base_prob(dist: float, r: float) -> float:
+    """Single-projection collision probability for p-stable LSH:
+    p(d) = 2∫₀ʳ (1/d)·f_G(t/d)·(1 - t/r) dt — lsh-qd.py:501-523.
+    Numerical integration via Simpson's rule (scipy-free; the reference
+    hoists the same integral out of its grid loop, lsh-qd.py:1010-1017)."""
+    if dist <= 0:
+        return 1.0
+    n = 512  # even
+    t = np.linspace(0.0, r, n + 1)
+    y = (1.0 / dist) * gaussian_pdf(t / dist) * (1.0 - t / r)
+    h = r / n
+    simpson = (h / 3.0) * (
+        y[0] + y[-1] + 4.0 * y[1:-1:2].sum() + 2.0 * y[2:-1:2].sum()
+    )
+    return float(2.0 * simpson)
+
+
+def collision_prob_pstable(dists, r: float, k: int, l: int, alpha: int = 1):
+    """alpha-LSH collision curve over Euclidean distances for p-stable
+    hashing — lsh-qd.py:501-523 composed with the binomial tail."""
+    dists = np.atleast_1d(np.asarray(dists, dtype=np.float64))
+    base = np.array([_pstable_base_prob(float(d), r) for d in dists])
+    p = base**k
+    out = np.zeros_like(p)
+    for i in range(alpha, l + 1):
+        out += math.comb(l, i) * p**i * (1.0 - p) ** (l - i)
+    return out
+
+
+@dataclass(frozen=True)
+class PlanResult:
+    k: int
+    l: int
+    alpha: int = 1
+    r: float | None = None
+    p_near: float = 0.0  # P(collide | sim >= s1)
+    p_far: float = 0.0  # P(collide | sim <= s2)
+
+
+def plan_minhash(
+    s1: float,
+    s2: float,
+    min_recall: float = 0.99,
+    max_fp: float = 0.10,
+    max_k: int = 12,
+    max_l: int = 256,
+) -> PlanResult:
+    """Smallest (k, l) meeting P(collide|s1) ≥ min_recall and
+    P(collide|s2) ≤ max_fp — the grid search of get_k_l_minhash
+    (lsh-qd.py:944-979) with a minimal-work ordering: for each k choose the
+    smallest l satisfying recall, then test the fp bound; prefer minimal
+    k·l (hash budget), mirroring get_min_k_l_minhash (lsh-qd.py:1046-1063).
+    """
+    best: PlanResult | None = None
+    for k in range(1, max_k + 1):
+        pk = s1**k
+        if pk >= 1.0:
+            l_needed = 1
+        elif pk <= 0.0:
+            continue
+        else:
+            l_needed = math.ceil(
+                math.log(1.0 - min_recall) / math.log(1.0 - pk)
+            )
+        if l_needed > max_l:
+            continue
+        p_far = float(collision_prob(s2, k, l_needed))
+        if p_far > max_fp:
+            continue
+        cand = PlanResult(
+            k=k,
+            l=l_needed,
+            p_near=float(collision_prob(s1, k, l_needed)),
+            p_far=p_far,
+        )
+        if best is None or cand.k * cand.l < best.k * best.l:
+            best = cand
+    if best is None:
+        raise ValueError(
+            f"no (k,l) grid point meets recall>={min_recall} and fp<={max_fp} "
+            f"for s1={s1}, s2={s2} — widen the thresholds"
+        )
+    return best
+
+
+def plan_alpha(
+    k: int,
+    l: int,
+    s1: float,
+    s2: float,
+    min_recall: float = 0.99,
+) -> int:
+    """Largest alpha keeping recall at s1 — get_alpha_minhash
+    (lsh-qd.py:876-910) with the empty-grid guard its original lacks:
+    always returns ≥1."""
+    best = 1
+    for alpha in range(1, l + 1):
+        p1 = float(collision_prob_alpha(s1, k, l, alpha))
+        if p1 >= min_recall:
+            best = alpha
+        else:
+            break
+    return best
+
+
+def plan_pstable(
+    d1: float,
+    d2: float,
+    min_recall: float = 0.95,
+    max_fp: float = 0.10,
+    rs=(1.0, 2.0, 4.0, 8.0),
+    max_k: int = 8,
+    max_l: int = 128,
+    return_first: bool = True,
+) -> PlanResult:
+    """(r, k, l) grid for p-stable hashing — get_r_k_l_pstable
+    (lsh-qd.py:982-1043), including its RETURN_FIRST early exit and the
+    hoisted/cached base integral."""
+    best: PlanResult | None = None
+    for r in rs:
+        p1 = _pstable_base_prob(d1, r)
+        p2 = _pstable_base_prob(d2, r)
+        for k in range(1, max_k + 1):
+            pk1 = p1**k
+            if pk1 <= 0:
+                continue
+            l_needed = (
+                1
+                if pk1 >= 1
+                else math.ceil(math.log(1 - min_recall) / math.log(1 - pk1))
+            )
+            if l_needed > max_l:
+                continue
+            p_far = 1.0 - (1.0 - p2**k) ** l_needed
+            if p_far > max_fp:
+                continue
+            cand = PlanResult(
+                k=k,
+                l=l_needed,
+                r=r,
+                p_near=1.0 - (1.0 - pk1) ** l_needed,
+                p_far=p_far,
+            )
+            if return_first:
+                return cand
+            if best is None or cand.k * cand.l < best.k * best.l:
+                best = cand
+    if best is None:
+        raise ValueError("no (r,k,l) meets the constraints")
+    return best
+
+
+def ranked_tiers(
+    sims: list[float],
+    min_recall: float = 0.99,
+    max_fp: float = 0.10,
+) -> list[PlanResult]:
+    """One plan per similarity tier (multi-radius dedup levels) —
+    get_ranked_neighb_params, lsh-qd.py:1086-1101. Tiers share the
+    signature stage; each adds only a banding pass (SURVEY.md §2.9 C3)."""
+    out = []
+    for s in sorted(sims, reverse=True):
+        s2 = max(0.05, s - 0.25)
+        out.append(plan_minhash(s, s2, min_recall, max_fp))
+    return out

@@ -25,6 +25,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lsh_qd_spark.config import DedupConfig
+from lsh_qd_spark.functions.fast_shingle import (
+    make_text_minhash_udf,
+    make_text_shingles_udf,
+)
 from lsh_qd_spark.functions.minhash import production_minhash_udf
 from lsh_qd_spark.functions.text import shingles as shingles_expr
 from lsh_qd_spark.operators.band import band_buckets
@@ -33,6 +37,7 @@ from lsh_qd_spark.operators.pairs import candidate_pairs
 from lsh_qd_spark.operators.verify import verify_pairs
 
 STAGES = ["shingles", "signatures", "buckets", "pairs", "verified", "clusters"]
+_MULTI_CONSUMER_STAGES = {"shingles", "buckets", "pairs", "verified"}
 
 
 @dataclass
@@ -122,9 +127,17 @@ class DedupPipeline:
         self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     ) -> DataFrame:
         """(doc_id, shingles): distinct k-gram shingle hashes; empty docs
-        yield empty arrays and are dropped downstream (reference empty-set
-        skip, /root/reference/lsh-qd.py:196-197)."""
+        yield empty/null arrays and are dropped downstream (reference
+        empty-set skip, /root/reference/lsh-qd.py:196-197)."""
         c = self.config
+        if c.shingle_hash == "fast":
+            udf = make_text_shingles_udf(c.shingle_k)
+            return docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.coalesce(
+                    udf(F.col(text_col)), F.array().cast("array<long>")
+                ).alias("shingles"),
+            )
         return docs.select(
             F.col(id_col).alias("doc_id"),
             shingles_expr(F.col(text_col), c.shingle_k, c.shingle_hash).alias(
@@ -140,6 +153,38 @@ class DedupPipeline:
             shingled.where(F.size("shingles") > 0)
             .select("doc_id", udf(F.col("shingles")).alias("sig"))
             .where(F.col("sig").isNotNull())
+        )
+
+    def signatures_from_text(
+        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        """(doc_id, sig) straight from text — the fused production kernel
+        (functions/fast_shingle.py): tokenize→shingle→MinHash in one
+        Arrow batch, no corpus-wide shingle column materialized."""
+        c = self.config
+        udf = make_text_minhash_udf(c.num_hashes, c.shingle_k, c.seed)
+        return docs.select(
+            F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("sig")
+        ).where(F.col("sig").isNotNull())
+
+    def candidate_shingles(
+        self,
+        docs: DataFrame,
+        pairs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Shingle sets for candidate-pair documents only (the verify stage
+        needs no others — typically a small fraction of the corpus)."""
+        ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select(F.col("id_b")))
+            .distinct()
+        )
+        # broadcast the (small) id set: the semi-join stays map-side and the
+        # full text column is never shuffled
+        return self.shingle(
+            docs.join(F.broadcast(ids), id_col, "left_semi"), text_col, id_col
         )
 
     def buckets(self, sigs: DataFrame, key_mode: str = "xxhash64") -> DataFrame:
@@ -190,12 +235,38 @@ class DedupPipeline:
             if store is not None:
                 df, metrics = store.save(name, df)
                 self.metrics[name] = metrics
+            elif name in _MULTI_CONSUMER_STAGES:
+                # Stages with ≥2 downstream consumers (buckets → sizes agg +
+                # pair groupBy + star join; pairs → verify + candidate ids;
+                # shingles → both verify sides). Without materialization
+                # Spark re-derives the whole upstream chain per consumer —
+                # persist() is the in-memory analog of the checkpointed
+                # stage tables used at scale. Single-consumer stages
+                # (signatures) stay unpersisted so the narrow
+                # scan→UDF→explode chain pipelines into one stage.
+                df = df.persist()
             return df
 
-        shingled = stage("shingles", lambda: self.shingle(docs, text_col, id_col))
-        sigs = stage("signatures", lambda: self.signatures(shingled))
-        bucketed = stage("buckets", lambda: self.buckets(sigs))
-        cand = stage("pairs", lambda: self.pairs(bucketed))
+        if self.config.shingle_hash == "fast":
+            # Fused path: signatures straight from text; shingle sets are
+            # derived later for candidate docs only.
+            sigs = stage(
+                "signatures",
+                lambda: self.signatures_from_text(docs, text_col, id_col),
+            )
+            bucketed = stage("buckets", lambda: self.buckets(sigs))
+            cand = stage("pairs", lambda: self.pairs(bucketed))
+            shingled = stage(
+                "shingles",
+                lambda: self.candidate_shingles(docs, cand, text_col, id_col),
+            )
+        else:
+            shingled = stage(
+                "shingles", lambda: self.shingle(docs, text_col, id_col)
+            )
+            sigs = stage("signatures", lambda: self.signatures(shingled))
+            bucketed = stage("buckets", lambda: self.buckets(sigs))
+            cand = stage("pairs", lambda: self.pairs(bucketed))
         ver = stage("verified", lambda: self.verified(cand, shingled))
         vertices = sigs.select("doc_id") if include_singletons else None
         clustered = stage("clusters", lambda: self.clusters(ver, vertices))

@@ -36,6 +36,23 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # local corpora are small relative to the 128MB default split size —
+        # without this a ~600MB table scans with ~5 partitions and the
+        # narrow UDF chain (scan→signature) runs on 5 of 32 cores. On a
+        # real cluster with TB inputs the default is fine; this only lowers
+        # the floor.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
+        # Shuffle/spill files on tmpfs: this sandbox's disk is shared and
+        # slow (high sys-time churn); shuffle volumes here are far below
+        # RAM. On a real cluster leave spark.local.dir at the default
+        # (instance-local SSDs).
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark_local"),
+        )
     )
     if master:
         builder = builder.master(master)

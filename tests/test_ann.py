@@ -1,0 +1,57 @@
+"""ANN operators: brute-force exactness + LSH recall against it."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_qd_spark.operators.ann import brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(21)
+    n, d = 500, 32
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    # plant near-neighbors: vectors 100..109 are tiny perturbations of 0..9
+    base[100:110] = base[0:10] + 0.01 * rng.standard_normal((10, d)).astype(
+        np.float32
+    )
+    rows = [(i, base[i].tolist()) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_brute_force_matches_numpy(emb_df, spark):
+    pdf = emb_df.toPandas().sort_values("vec_id")
+    x = np.stack(pdf["embedding"].to_numpy())
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = xn @ xn.T
+    np.fill_diagonal(sims, -np.inf)
+    queries = emb_df.where(F.col("vec_id") < 5)
+    got = brute_force_topk(emb_df, queries, k=3).toPandas()
+    for q in range(5):
+        expected = np.argsort(-sims[q], kind="stable")[:3]
+        mine = got[got.query_id == q].sort_values("rank")["neighbor_id"].tolist()
+        assert mine == expected.tolist()
+
+
+def test_planted_neighbors_rank_one(emb_df):
+    queries = emb_df.where(F.col("vec_id") < 10)
+    got = brute_force_topk(emb_df, queries, k=1).toPandas()
+    for q in range(10):
+        nb = got[got.query_id == q]["neighbor_id"].iloc[0]
+        assert nb == q + 100
+
+
+def test_lsh_topk_recall_vs_brute_force(emb_df):
+    """The approximate path must recover ≥80% of true top-3 neighbors at
+    this table/bit budget (the reference's recall methodology,
+    /root/reference/experiments.py:33-54, with brute force as truth)."""
+    queries = emb_df.where(F.col("vec_id") < 20)
+    truth = brute_force_topk(emb_df, queries, k=3).toPandas()
+    approx = lsh_topk(
+        emb_df, queries, k=3, n_tables=16, bits_per_table=4, n_dims=32
+    ).toPandas()
+    t = set(zip(truth.query_id, truth.neighbor_id))
+    a = set(zip(approx.query_id, approx.neighbor_id))
+    recall = len(t & a) / len(t)
+    assert recall >= 0.8, f"LSH ANN recall {recall}"

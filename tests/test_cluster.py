@@ -1,0 +1,92 @@
+"""Connected components: distributed hash-min vs driver NumPy path —
+identical labels (min doc_id per component) on random graphs."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_qd_spark.operators.cluster import connected_components
+
+
+def _truth(edges, verts=()):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set(verts)
+    for a, b in edges:
+        nodes.update((a, b))
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for v in nodes:
+        comp.setdefault(find(v), []).append(v)
+    out = {}
+    for vs in comp.values():
+        m = min(vs)
+        for v in vs:
+            out[v] = m
+    return out
+
+
+@pytest.fixture(scope="module")
+def random_graph():
+    rng = np.random.default_rng(31)
+    edges = [
+        (int(rng.integers(0, 400)), int(rng.integers(0, 400)))
+        for _ in range(300)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    return edges
+
+
+@pytest.mark.parametrize("threshold", [0, 10_000_000])
+def test_cc_matches_union_find(spark, random_graph, threshold):
+    """threshold=0 forces the distributed hash-min loop; the large
+    threshold takes the driver NumPy path — labels must be identical."""
+    edges_df = spark.createDataFrame(random_graph, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            edges_df, driver_edge_threshold=threshold
+        ).collect()
+    }
+    assert got == _truth(random_graph)
+
+
+def test_cc_with_singleton_vertices(spark, random_graph):
+    verts = spark.range(450).select(F.col("id").alias("doc_id"))
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            spark.createDataFrame(random_graph, "id_a long, id_b long"),
+            vertices=verts,
+        ).collect()
+    }
+    truth = _truth(random_graph, verts=range(450))
+    assert got == truth
+    # ids not touched by any edge are their own singleton cluster
+    edge_nodes = {v for e in random_graph for v in e}
+    for v in range(450):
+        if v not in edge_nodes:
+            assert got[v] == v
+
+
+def test_cc_long_chain_distributed(spark):
+    """Chain of length 40: stresses iteration count of the distributed
+    loop (converges via doubling in O(log n) thanks to min-propagation)."""
+    chain = [(i, i + 1) for i in range(40)]
+    edges_df = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = connected_components(edges_df, driver_edge_threshold=0, max_iter=50)
+    labels = {r["doc_id"]: r["cluster_id"] for r in got.collect()}
+    assert set(labels.values()) == {0}
+
+
+def test_cc_empty(spark):
+    edges_df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(edges_df).count() == 0

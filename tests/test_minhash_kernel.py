@@ -58,16 +58,17 @@ def test_minhash_matrix_empty_and_none_rows():
     assert np.all(mat[2] < MERSENNE_P)
 
 
-def test_minhash_matrix_chunking_consistency(monkeypatch):
-    import lsh_qd_spark.functions.minhash as mh
-
+def test_minhash_matrix_deterministic_and_mixed_sizes():
     a, b = production_coefficients(32, seed=11)
     rng = np.random.default_rng(0)
-    docs = [rng.integers(0, 2**62, size=50).tolist() for _ in range(20)]
-    full = minhash_matrix(docs, a, b, MERSENNE_P, HASH_M)
-    monkeypatch.setattr(mh, "_ELEM_BUDGET", 100)  # force tiny chunks
-    chunked = mh.minhash_matrix(docs, a, b, MERSENNE_P, HASH_M)
-    assert np.array_equal(full, chunked)
+    docs = [rng.integers(0, 2**62, size=n).tolist() for n in (1, 7, 50, 0, 200)]
+    m1 = minhash_matrix(docs, a, b, MERSENNE_P, HASH_M)
+    m2 = minhash_matrix(docs, a, b, MERSENNE_P, HASH_M)
+    assert np.array_equal(m1, m2)
+    # per-doc result independent of batch composition
+    solo = minhash_matrix([docs[2]], a, b, MERSENNE_P, HASH_M)
+    assert np.array_equal(m1[2], solo[0])
+    assert np.all(m1[3] == MERSENNE_P)  # empty doc sentinel
 
 
 def test_production_family_no_overflow_bounds():
