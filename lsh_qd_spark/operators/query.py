@@ -1,0 +1,93 @@
+"""Query-mode near-neighbor retrieval — the reference's primary API.
+
+``AlphaLSH.query(x, alpha)`` (``/root/reference/lsh-qd.py:286-297``) finds,
+for ONE query item, every indexed item colliding in ≥ alpha of l tables.
+The distributed form answers a whole DataFrame of queries at once: hash the
+queries with the same kernel, explode to bucket rows, equi-join against the
+corpus buckets (SURVEY.md §2.4 J1), count collisions per (query, doc) pair
+(A1), and alpha-filter (F2).
+
+Semantics notes carried from the reference:
+- the non-idx query path INCLUDES self-collisions (lsh-qd.py:129-131);
+  ``exclude_self=True`` reproduces ``query_idx``'s self-exclusion
+  (lsh-qd.py:145-148) by doc_id equality instead.
+- query sides are typically small → broadcast by default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lsh_qd_spark.config import DedupConfig
+from lsh_qd_spark.operators.band import band_buckets
+from lsh_qd_spark.plans.pipeline import DedupPipeline
+
+
+def query_neighbors(
+    corpus_buckets: DataFrame,
+    query_buckets: DataFrame,
+    alpha: int = 1,
+    exclude_self: bool = True,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """(query_id, doc_id, n_bands): corpus docs colliding with each query
+    in ≥ alpha bands. Both inputs are (id, band_idx, band_key) bucket rows
+    (build with DedupPipeline.buckets / band_buckets)."""
+    q = query_buckets.select(
+        F.col("doc_id").alias("query_id"), "band_idx", "band_key"
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    hits = corpus_buckets.join(q, ["band_idx", "band_key"])
+    if exclude_self:
+        hits = hits.where(F.col("doc_id") != F.col("query_id"))
+    return (
+        hits.groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("n_bands"))
+        .where(F.col("n_bands") >= alpha)
+    )
+
+
+def query_text_neighbors(
+    corpus_docs: DataFrame,
+    query_docs: DataFrame,
+    config: DedupConfig | None = None,
+    alpha: int = 1,
+    jaccard_threshold: float | None = None,
+) -> DataFrame:
+    """End-to-end query mode over raw text tables: returns
+    (query_id, doc_id, n_bands[, jaccard]). Queries and corpus are hashed
+    with the same seed/coefficients, so bucket equality semantics match the
+    reference's shared hash functions."""
+    cfg = config or DedupConfig()
+    pipe = DedupPipeline(cfg)
+    cb = pipe.buckets(pipe.signatures_from_text(corpus_docs))
+    qb = pipe.buckets(pipe.signatures_from_text(query_docs))
+    out = query_neighbors(cb, qb, alpha=alpha)
+    if jaccard_threshold is None:
+        return out
+    qsh = pipe.shingle(query_docs).select(
+        F.col("doc_id").alias("query_id"), F.col("shingles").alias("q_sh")
+    )
+    csh = pipe.shingle(
+        corpus_docs.join(
+            F.broadcast(out.select("doc_id").distinct()), "doc_id", "left_semi"
+        )
+    )
+    from lsh_qd_spark.operators.verify import jaccard_expr
+
+    return (
+        out.join(F.broadcast(qsh), "query_id")
+        .join(csh, "doc_id")
+        .withColumn("jaccard", jaccard_expr(F.col("q_sh"), F.col("shingles")))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("query_id", "doc_id", "n_bands", "jaccard")
+    )
+
+
+def alpha_tiers(pairs: DataFrame, alphas: list[int]) -> dict[int, DataFrame]:
+    """One candidate-pair DataFrame, several alpha cuts — the
+    AlphaRankedNeighborContainer (C4, /root/reference/lsh-qd.py:408-439):
+    all tiers share one pair-count aggregation; each tier is a HAVING cut."""
+    return {a: pairs.where(F.col("n_bands") >= a) for a in sorted(alphas)}
