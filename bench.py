@@ -35,7 +35,7 @@ os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "40g")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "3000000"))
 BENCH_CORPUS_DIR = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/dev/shm/lsh_qd_bench")
 # num_bands=8 comes from the planner (params.get_k_l_minhash semantics):
 # detect probability at J=0.70 with k=2,l=8 is 1-(1-0.49)^8 ≈ 0.9954.

@@ -57,3 +57,34 @@ def band_buckets(
         "band_idx",
         band_key_expr(F.col("band_sig"), key_mode).alias("band_key"),
     )
+
+
+def tiered_buckets(
+    sig_df: DataFrame,
+    tiers: list[tuple[int, int]],
+    key_mode: str = "xxhash64",
+    sig_col: str = "sig",
+    id_col: str = "doc_id",
+) -> dict[tuple[int, int], DataFrame]:
+    """One signature, several (rows_per_band, num_bands) bandings — the
+    RankedNeighborContainer (C3, /root/reference/lsh-qd.py:356-390) without
+    re-hashing: each tier reads a PREFIX of the same flat signature (the
+    coefficient stream is index-stable, so tier (k, l) uses hashes
+    [0, k*l)). The signature must be at least max(k*l) long.
+
+    Tier band keys incorporate (k, l) so different tiers never collide if
+    their bucket rows are unioned into one table.
+    """
+    out: dict[tuple[int, int], DataFrame] = {}
+    for k, l in tiers:
+        b = band_buckets(sig_df, k, l, key_mode, sig_col, id_col)
+        if key_mode == "str":
+            b = b.withColumn(
+                "band_key", F.concat_ws("|", F.lit(f"{k}x{l}"), F.col("band_key"))
+            )
+        else:
+            b = b.withColumn(
+                "band_key", F.xxhash64(F.lit(f"{k}x{l}"), F.col("band_key"))
+            )
+        out[(k, l)] = b
+    return out

@@ -24,6 +24,72 @@ def jaccard_expr(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def verify_pairs_text(
+    pairs: DataFrame,
+    docs: DataFrame,
+    threshold: float,
+    shingle_k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Jaccard verify straight from text — the production path.
+
+    Joins candidate pairs to the raw text of both sides (a ~300B string is
+    far lighter through the shuffle than a materialized shingle array) and
+    computes shingle sets + Jaccard in ONE Arrow-batched NumPy kernel with
+    per-batch doc memoization (cluster members appear in several pairs).
+    Avoids materializing/caching any corpus- or candidate-wide shingle
+    column — the stage that profiling showed does not scale (cache-write
+    contention on ~1 GB of array data).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from lsh_qd_spark.functions.fast_shingle import shingle_set
+
+    t = docs.select(F.col(id_col).alias("_vid"), F.col(text_col).alias("_vtx"))
+    joined = (
+        pairs.join(t.withColumnRenamed("_vid", "id_a"), "id_a")
+        .withColumnRenamed("_vtx", "_tx_a")
+        .join(t.withColumnRenamed("_vid", "id_b"), "id_b")
+        .withColumnRenamed("_vtx", "_tx_b")
+    )
+    pair_cols = list(pairs.columns)  # plain strings: safe to close over
+    schema_parts = [
+        f"{f.name} {f.dataType.simpleString()}" for f in pairs.schema.fields
+    ]
+    schema = ", ".join(schema_parts + ["jaccard double"])
+
+    def kernel(batches):
+        for pdf in batches:
+            memo: dict = {}
+
+            def sset(doc_id, text):
+                s = memo.get(doc_id)
+                if s is None:
+                    s = shingle_set(text, shingle_k)
+                    memo[doc_id] = s if s is not None else np.empty(0, np.uint64)
+                return memo[doc_id]
+
+            jac = np.empty(len(pdf), dtype=np.float64)
+            ids_a = pdf["id_a"].to_numpy()
+            ids_b = pdf["id_b"].to_numpy()
+            for i, (ia, ib, ta, tb) in enumerate(
+                zip(ids_a, ids_b, pdf["_tx_a"], pdf["_tx_b"])
+            ):
+                sa, sb = sset(ia, ta), sset(ib, tb)
+                if len(sa) == 0 or len(sb) == 0:
+                    jac[i] = 0.0
+                    continue
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                jac[i] = inter / (len(sa) + len(sb) - inter)
+            out = pdf[pair_cols].copy()
+            out["jaccard"] = jac
+            yield out[out["jaccard"] >= threshold]
+
+    return joined.mapInPandas(kernel, schema=schema)
+
+
 def verify_pairs(
     pairs: DataFrame,
     shingle_df: DataFrame,

@@ -34,7 +34,7 @@ from lsh_qd_spark.functions.text import shingles as shingles_expr
 from lsh_qd_spark.operators.band import band_buckets
 from lsh_qd_spark.operators.cluster import connected_components
 from lsh_qd_spark.operators.pairs import candidate_pairs
-from lsh_qd_spark.operators.verify import verify_pairs
+from lsh_qd_spark.operators.verify import verify_pairs, verify_pairs_text
 
 STAGES = ["shingles", "signatures", "buckets", "pairs", "verified", "clusters"]
 _MULTI_CONSUMER_STAGES = {"shingles", "buckets", "pairs", "verified"}
@@ -248,18 +248,29 @@ class DedupPipeline:
             return df
 
         if self.config.shingle_hash == "fast":
-            # Fused path: signatures straight from text; shingle sets are
-            # derived later for candidate docs only.
+            # Fused path: signatures straight from text; verification joins
+            # pairs back to TEXT and shingles inside the verify kernel — no
+            # corpus- or candidate-wide shingle column is materialized
+            # (profiling: caching ~1GB of shingle arrays does not scale).
             sigs = stage(
                 "signatures",
                 lambda: self.signatures_from_text(docs, text_col, id_col),
             )
             bucketed = stage("buckets", lambda: self.buckets(sigs))
             cand = stage("pairs", lambda: self.pairs(bucketed))
-            shingled = stage(
-                "shingles",
-                lambda: self.candidate_shingles(docs, cand, text_col, id_col),
+            ver = stage(
+                "verified",
+                lambda: verify_pairs_text(
+                    cand,
+                    docs,
+                    self.config.jaccard_threshold,
+                    self.config.shingle_k,
+                    id_col=id_col,
+                    text_col=text_col,
+                ),
             )
+            # lazy, unmaterialized — for callers that want the sets
+            shingled = self.candidate_shingles(docs, cand, text_col, id_col)
         else:
             shingled = stage(
                 "shingles", lambda: self.shingle(docs, text_col, id_col)
@@ -267,7 +278,7 @@ class DedupPipeline:
             sigs = stage("signatures", lambda: self.signatures(shingled))
             bucketed = stage("buckets", lambda: self.buckets(sigs))
             cand = stage("pairs", lambda: self.pairs(bucketed))
-        ver = stage("verified", lambda: self.verified(cand, shingled))
+            ver = stage("verified", lambda: self.verified(cand, shingled))
         vertices = sigs.select("doc_id") if include_singletons else None
         clustered = stage("clusters", lambda: self.clusters(ver, vertices))
         return {

@@ -180,6 +180,61 @@ def truth_clusters(spark: SparkSession, cfg: SynthConfig) -> DataFrame:
     ).where(F.col("cluster_id").isNotNull())
 
 
+def generate_binary_rows(
+    spark: SparkSession,
+    n_rows: int,
+    n_dims: int,
+    density: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, shingles): nonzero indices of Bernoulli(density) binary
+    vectors — gen_uni_rand_data_bin (/root/reference/lsh-qd.py:623-634) in
+    the set representation MinHash derives at lsh-qd.py:195. Deterministic
+    per (seed, doc_id)."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = []
+            for i in ids:
+                rng = np.random.default_rng((seed, 20, int(i)))
+                nz = np.nonzero(rng.random(n_dims) < density)[0]
+                rows.append(nz.tolist())
+            yield pd.DataFrame(
+                {"doc_id": ids.astype(np.int64), "shingles": rows}
+            )
+
+    return spark.range(n_rows).mapInPandas(
+        gen, schema="doc_id long, shingles array<long>"
+    )
+
+
+def generate_uniform_real(
+    spark: SparkSession, n_rows: int, n_dims: int, seed: int = 42
+) -> DataFrame:
+    """(vec_id, embedding): uniform directions scaled into the unit ball
+    with the reference's ad-hoc 0.72 radius factor — gen_uni_rand_data_real
+    (/root/reference/lsh-qd.py:637-658, scale at :652-653), reproduced for
+    parity on its test configs."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = []
+            for i in ids:
+                rng = np.random.default_rng((seed, 21, int(i)))
+                v = rng.standard_normal(n_dims)
+                v = v / np.linalg.norm(v) * 0.72 * rng.random() ** (1.0 / n_dims)
+                rows.append(v.astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {"vec_id": ids.astype(np.int64), "embedding": rows}
+            )
+
+    return spark.range(n_rows).mapInPandas(
+        gen, schema="vec_id long, embedding array<float>"
+    )
+
+
 @dataclass(frozen=True)
 class SynthEmbeddingConfig:
     """Planted-neighbor vector dataset — the analog of ``SyntheticDataset``
