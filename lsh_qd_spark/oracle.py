@@ -328,6 +328,80 @@ SELECT n_docs, COUNT(*) AS n_clusters FROM (
 """
 
 
+def q_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity histogram of verified pairs — the pairwise-distance
+    histogram diagnostic (A8, /root/reference/lsh-qd.py:718-734) as a table.
+    Buckets of width 0.05 on floor(jaccard*20); integer counts are
+    bit-stable across engines."""
+    v = q_verified_pairs(spark, sf_dir)
+    return (
+        v.groupBy(F.floor(F.col("jaccard") * 20).cast("long").alias("bucket"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+SQL_JACCARD_HISTOGRAM = f"""
+WITH {duck_bands_cte(ORACLE_CFG)},
+{DUCK_PAIRS_CTE},
+{duck_verified_cte(ORACLE_CFG.jaccard_threshold)}
+SELECT CAST(floor(jaccard * 20) AS BIGINT) AS bucket, COUNT(*) AS n_pairs
+FROM verified GROUP BY 1
+"""
+
+
+def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster size + intra-cluster similarity (A4: mean neighborhood
+    size / mean intra-neighborhood similarity, lsh-qd.py:1123-1165).
+    Similarity is aggregated as an integer sum of round(jaccard*1e9) so the
+    result is order-independent and engine-exact (double sums are not)."""
+    clusters = q_dup_clusters(spark, sf_dir)
+    verified = q_verified_pairs(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("n_docs"))
+    edge_stats = (
+        verified.join(
+            clusters.withColumnRenamed("doc_id", "id_a"), "id_a"
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.round(F.col("jaccard") * 1e9).cast("long")).alias(
+                "jaccard_nanosum"
+            ),
+        )
+    )
+    return sizes.join(edge_stats, "cluster_id")
+
+
+SQL_CLUSTER_STATS = f"""
+WITH RECURSIVE {duck_bands_cte(ORACLE_CFG)},
+{DUCK_PAIRS_CTE},
+{duck_verified_cte(ORACLE_CFG.jaccard_threshold)},
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION SELECT id_b, id_a FROM verified
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+clusters AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src
+),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS n_docs FROM clusters GROUP BY 1
+),
+edge_stats AS (
+  SELECT c.cluster_id, COUNT(*) AS n_pairs,
+         SUM(CAST(round(v.jaccard * 1e9) AS BIGINT)) AS jaccard_nanosum
+  FROM verified v JOIN clusters c ON c.doc_id = v.id_a
+  GROUP BY 1
+)
+SELECT s.cluster_id, s.n_docs, e.n_pairs, e.jaccard_nanosum
+FROM sizes s JOIN edge_stats e ON s.cluster_id = e.cluster_id
+"""
+
+
 def q_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token accounting per source (training-data bookkeeping)."""
     docs = _docs(spark, sf_dir)
@@ -518,6 +592,8 @@ SQL_QUERIES: dict[str, str] = {
     "verified_pairs": SQL_VERIFIED_PAIRS,
     "dup_clusters": SQL_DUP_CLUSTERS,
     "cluster_sizes": SQL_CLUSTER_SIZES,
+    "jaccard_histogram": SQL_JACCARD_HISTOGRAM,
+    "cluster_stats": SQL_CLUSTER_STATS,
     "token_totals": SQL_TOKEN_TOTALS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "quality_scores": SQL_QUALITY_SCORES,
@@ -534,6 +610,8 @@ SPARK_QUERIES = {
     "verified_pairs": q_verified_pairs,
     "dup_clusters": q_dup_clusters,
     "cluster_sizes": q_cluster_sizes,
+    "jaccard_histogram": q_jaccard_histogram,
+    "cluster_stats": q_cluster_stats,
     "token_totals": q_token_totals,
     "doc_fingerprint": q_doc_fingerprint,
     "quality_scores": q_quality_scores,
