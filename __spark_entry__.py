@@ -2,9 +2,9 @@
 
 ``entry(spark)`` runs the flagship near-dup query at sf0.001;
 ``queries()``/``oracle_sql()`` expose every SQL-expressible operator of the
-engine (see lsh_qd_spark/oracle.py) plus the non-SQL-expressible kernels
-(SimHash banding, p-stable bucketing, suffix-array exact overlap) as
-rows-only checks.
+engine (see lsh_qd_spark/oracle.py and extra_queries.py). Only the
+suffix-array exact-overlap kernel has no SQL twin (rows-only check; its
+oracle is tests/test_suffix.py).
 """
 
 from __future__ import annotations
@@ -33,6 +33,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from lsh_qd_spark import oracle
+    from lsh_qd_spark import extra_queries, oracle
 
-    return dict(oracle.SQL_QUERIES)
+    out = dict(oracle.SQL_QUERIES)
+    out.update(extra_queries.extra_sql_queries())
+    return out

@@ -1,35 +1,61 @@
-"""Spark-only queries: operators with no reasonable ANSI-SQL twin.
+"""Non-core operator queries + their DuckDB oracle twins.
 
-These appear in ``__spark_entry__.queries()`` WITHOUT an ``oracle_sql()``
-entry — the driver records rows-only checks for them (per the contract);
-their correctness is covered by dedicated pytest oracles instead
-(tests/test_simhash.py, test_ann.py, test_suffix.py).
+Round 1 shipped these four as rows-only checks; round 2 adds real ANSI-SQL
+twins for the three that are SQL-expressible (``simhash_near_dup``,
+``pstable_buckets``, ``ann_lsh_topk``) using the same literal-coefficient
+``list_reduce``/``list_transform`` technique as lsh_qd_spark/oracle.py.
+Only ``suffix_exact_overlap`` (suffix-array LCS, operators/suffix.py)
+remains rows-only — its kernel is genuinely not SQL-expressible; pytest
+(tests/test_suffix.py) is its oracle.
+
+Float determinism: every dot product that feeds a *discrete* decision
+(``floor`` bucket, ``> 0`` sign bit) is computed by NumPy matmul on the
+Spark side and a sequential ``list_reduce`` fold in DuckDB. The two differ
+by ~1 ulp, which flips the discrete output only when the value lands within
+~1e-13 of a boundary — probability ~1e-10 across the whole sf0.01 table.
+Continuous outputs (cosine) use the identical sequential fold on both sides
+(bit-exact), as in oracle.py.
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lsh_qd_spark.functions.pstable import make_pstable_udf, pstable_coefficients
 from lsh_qd_spark.functions.simhash import (
+    N_CHUNKS,
     hamming_expr,
     make_simhash_udf,
     simhash_chunks,
 )
 from lsh_qd_spark.functions.text import normalize_text
-from lsh_qd_spark.operators.ann import lsh_topk
+from lsh_qd_spark.operators.ann import hyperplane_coefficients, lsh_topk
 from lsh_qd_spark.operators.band import band_buckets
 from lsh_qd_spark.operators.pairs import candidate_pairs
 from lsh_qd_spark.operators.suffix import exact_overlap
-from lsh_qd_spark.oracle import ORACLE_CFG, _docs, _embeddings
+from lsh_qd_spark.oracle import (
+    DUCK_COSINE,
+    ORACLE_CFG,
+    _docs,
+    _embeddings,
+    duck_shingles_cte,
+)
 from lsh_qd_spark.plans.pipeline import DedupPipeline
 
-SIMHASH_MAX_HAMMING = 6
+# 4x16-bit chunk banding is a COMPLETE candidate generator only for Hamming
+# <= N_CHUNKS - 1 = 3 (pigeonhole; tests/test_simhash.py pins this), so the
+# verify radius must not exceed it.
+SIMHASH_MAX_HAMMING = N_CHUNKS - 1
 PSTABLE_R = 4.0
+PSTABLE_NUM_HASHES = 8
 SUFFIX_MIN_OVERLAP = 40
 ANN_N_QUERIES = 10
 ANN_TOP_K = 5
+ANN_N_TABLES = 12
+ANN_BITS_PER_TABLE = 8
+EMB_DIMS = 64
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,9 +79,59 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(f.withColumnRenamed("_fid", "id_b"), "id_b")
         .withColumnRenamed("_fh", "h_b")
         .select(
-            "id_a", "id_b", hamming_expr(F.col("h_a"), F.col("h_b")).alias("hamming")
+            "id_a",
+            "id_b",
+            hamming_expr(F.col("h_a"), F.col("h_b")).cast("long").alias("hamming"),
         )
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+def _sql_simhash_near_dup() -> str:
+    """DuckDB twin of q_simhash_near_dup. The 64-bit majority vote is
+    unrolled per bit: bit j set iff 2*|{h in shingles : bit_j(h)}| > |sh|.
+    Shingles are poly hashes mod HASH_M < 2^31, so all values (and the
+    fingerprint) are non-negative — BIGINT shifts are safe."""
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(shingles, h -> (h >> {j}) & 1 = 1)) "
+        f"> len(shingles) THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)"
+        for j in range(31)  # bits 31..63 are always 0 (shingle < 2^31)
+    )
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, (simhash >> {i * 16}) & 65535 AS band_key FROM fp"
+        for i in range(N_CHUNKS)
+    )
+    return f"""
+WITH {duck_shingles_cte(ORACLE_CFG.shingle_k)},
+fp AS (
+  SELECT doc_id, {bit_terms} AS simhash
+  FROM sh WHERE len(shingles) > 0
+),
+chunks AS (
+  {chunk_selects}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM chunks x JOIN chunks y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+FROM cand c
+JOIN fp fa ON fa.doc_id = c.id_a
+JOIN fp fb ON fb.doc_id = c.id_b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+def _duck_dot(vec_expr: str, coeffs: np.ndarray) -> str:
+    """Sequential-fold dot(vec, literal coeffs) — DOUBLE, deterministic."""
+    lits = "[" + ", ".join(repr(float(c)) for c in coeffs) + "]"
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(list_zip({vec_expr}, {lits}), "
+        "p -> CAST(p[1] AS DOUBLE) * p[2])), (acc, x) -> acc + x)"
     )
 
 
@@ -63,7 +139,9 @@ def q_pstable_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p-stable (E2LSH) bucketing of the embeddings table: buckets with ≥2
     vectors (the H4/H5 path; join-ready candidate structure)."""
     emb = _embeddings(spark, sf_dir)
-    a, b = pstable_coefficients(num_hashes=8, n_dims=64, r=PSTABLE_R, seed=42)
+    a, b = pstable_coefficients(
+        num_hashes=PSTABLE_NUM_HASHES, n_dims=EMB_DIMS, r=PSTABLE_R, seed=42
+    )
     udf = make_pstable_udf(a, b, PSTABLE_R)
     sigs = emb.select(
         F.col("vec_id").alias("doc_id"), udf(F.col("embedding")).alias("sig")
@@ -76,17 +154,99 @@ def q_pstable_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_pstable_buckets() -> str:
+    """DuckDB twin of q_pstable_buckets: floor((x·a_j + b_j)/r) with the
+    same literal Gaussian coefficients (pstable_coefficients seed=42),
+    banded 2 rows × 4 bands with comma-joined string keys (band.py:25)."""
+    a, b = pstable_coefficients(
+        num_hashes=PSTABLE_NUM_HASHES, n_dims=EMB_DIMS, r=PSTABLE_R, seed=42
+    )
+    sig_cols = ", ".join(
+        f"CAST(floor(({_duck_dot('embedding', a[j])} + {float(b[j])!r}) "
+        f"/ {PSTABLE_R!r}) AS BIGINT) AS s{j}"
+        for j in range(PSTABLE_NUM_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, "
+        f"CAST(s{2 * i} AS VARCHAR) || ',' || CAST(s{2 * i + 1} AS VARCHAR) "
+        f"AS band_key FROM sigs"
+        for i in range(4)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id AS doc_id, {sig_cols} FROM embeddings
+),
+bands AS (
+  {band_selects}
+)
+SELECT band_idx, band_key, COUNT(*) AS n_vecs, MIN(doc_id) AS min_vec_id
+FROM bands GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-accelerated cosine top-k (approximate twin of ann_cosine_topk)."""
     emb = _embeddings(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
     return lsh_topk(
-        emb, queries, k=ANN_TOP_K, n_tables=12, bits_per_table=8, n_dims=64
+        emb,
+        queries,
+        k=ANN_TOP_K,
+        n_tables=ANN_N_TABLES,
+        bits_per_table=ANN_BITS_PER_TABLE,
+        n_dims=EMB_DIMS,
     )
 
 
+def _sql_ann_lsh_topk() -> str:
+    """DuckDB twin of q_ann_lsh_topk: per-table sign-pattern bucket keys
+    from the same literal hyperplanes (hyperplane_coefficients seed=42),
+    candidate equi-join on (table_idx, band_key), sequential-fold cosine,
+    deterministic rank."""
+    planes = hyperplane_coefficients(ANN_N_TABLES, ANN_BITS_PER_TABLE, EMB_DIMS, 42)
+    key_selects = []
+    for t in range(ANN_N_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN {_duck_dot('embedding', planes[t * ANN_BITS_PER_TABLE + i])} "
+            f"> 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(ANN_BITS_PER_TABLE)
+        )
+        key_selects.append(
+            f"SELECT vec_id, {t} AS table_idx, CAST({bits} AS BIGINT) "
+            f"AS band_key FROM embeddings"
+        )
+    keys_cte = " UNION ALL ".join(key_selects)
+    return f"""
+WITH keys AS (
+  {keys_cte}
+),
+cand AS (
+  SELECT DISTINCT kq.vec_id AS query_id, kc.vec_id AS neighbor_id
+  FROM keys kq JOIN keys kc
+    ON kq.table_idx = kc.table_idx AND kq.band_key = kc.band_key
+  WHERE kq.vec_id < {ANN_N_QUERIES} AND kc.vec_id <> kq.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         {DUCK_COSINE.format(a='qe.embedding', b='ne.embedding')} AS cosine
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {ANN_TOP_K}
+"""
+
+
 def q_suffix_exact_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-overlap lengths (suffix-array LCS) for verified near-dup pairs."""
+    """Exact-overlap lengths (suffix-array LCS) for verified near-dup pairs.
+    No SQL twin: the rank-doubling SA + Kasai LCP kernel
+    (operators/suffix.py) is not SQL-expressible; oracle = test_suffix.py."""
     from lsh_qd_spark.oracle import q_verified_pairs
 
     docs = _docs(spark, sf_dir).select(
@@ -102,3 +262,12 @@ SPARK_ONLY_QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "suffix_exact_overlap": q_suffix_exact_overlap,
 }
+
+# DuckDB twins for the three SQL-expressible extras (built lazily: the SQL
+# embeds ~6k literal coefficients).
+def extra_sql_queries() -> dict[str, str]:
+    return {
+        "simhash_near_dup": _sql_simhash_near_dup(),
+        "pstable_buckets": _sql_pstable_buckets(),
+        "ann_lsh_topk": _sql_ann_lsh_topk(),
+    }

@@ -23,8 +23,18 @@ reference's self-exclusion, ``lsh-qd.py:145-148``).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+# Max number of oversized-bucket KEYS collected to the driver + broadcast.
+# Rows are narrow (int, short string, long ≈ 100 B) → 500k keys ≈ 50 MB
+# broadcast. Above this the code falls back to a shuffle join on the keys —
+# still correct, one extra wide stage — rather than silently truncating.
+BIG_KEY_BROADCAST_CAP = 500_000
 
 
 def _full_pairs(members: Column) -> Column:
@@ -69,6 +79,7 @@ def candidate_pairs(
     alpha: int = 1,
     max_bucket_size: int = 500,
     two_phase: bool = True,
+    big_key_broadcast_cap: int = BIG_KEY_BROADCAST_CAP,
 ) -> DataFrame:
     """(id_a, id_b, n_bands, via_star) candidate pairs.
 
@@ -91,9 +102,26 @@ def candidate_pairs(
         big = sizes.where(F.col("bucket_n") > max_bucket_size).select(
             "band_idx", "band_key", "rep"
         )
-        big_rows = big.limit(100_000).collect()
-        if big_rows:
-            big_df = F.broadcast(spark.createDataFrame(big_rows, big.schema))
+        # No silent truncation: count the oversized keys first. Within the
+        # broadcast budget they are collected + broadcast (two map-side
+        # joins, no extra wide stage); beyond it the same joins run as
+        # shuffle joins — slower but correct at ANY number of mega-buckets.
+        n_big = big.count()
+        if n_big > 0:
+            if n_big <= big_key_broadcast_cap:
+                big_df = F.broadcast(
+                    spark.createDataFrame(big.collect(), big.schema)
+                )
+                log.info(
+                    "candidate_pairs: %d oversized-bucket keys (broadcast)", n_big
+                )
+            else:
+                big_df = big
+                log.warning(
+                    "candidate_pairs: %d oversized-bucket keys exceed the "
+                    "broadcast cap (%d); using shuffle joins for the "
+                    "mega-bucket split", n_big, big_key_broadcast_cap,
+                )
             small_buckets = buckets.join(
                 big_df.select("band_idx", "band_key"),
                 ["band_idx", "band_key"],

@@ -393,7 +393,10 @@ sizes AS (
 ),
 edge_stats AS (
   SELECT c.cluster_id, COUNT(*) AS n_pairs,
-         SUM(CAST(round(v.jaccard * 1e9) AS BIGINT)) AS jaccard_nanosum
+         -- DuckDB SUM(BIGINT) returns HUGEINT (float64 in pandas); cast back
+         -- so the dtype matches Spark's int64.
+         CAST(SUM(CAST(round(v.jaccard * 1e9) AS BIGINT)) AS BIGINT)
+           AS jaccard_nanosum
   FROM verified v JOIN clusters c ON c.doc_id = v.id_a
   GROUP BY 1
 )

@@ -79,9 +79,9 @@ def test_all_queries_have_callables():
 
 
 def test_spark_only_queries_run(spark):
-    """Rows-only smoke for the non-SQL-expressible operators."""
+    """Rows-only smoke for the one remaining non-SQL-expressible operator."""
     qs = entrymod.queries()
-    for name in ["simhash_near_dup", "pstable_buckets", "ann_lsh_topk"]:
+    for name in ["suffix_exact_overlap"]:
         df = qs[name](spark, SF_DIR)
         assert df.count() >= 0
 
