@@ -8,13 +8,29 @@ pages source, ``foreachBatch`` per micro-batch:
   1. signature + bucket rows for the batch (same fused kernel as batch mode
      — identical signatures for identical text, so stream and batch agree);
   2. equi-join the batch's buckets against the ACCUMULATED bucket index
-     (parquet dir — idempotent append keyed by epoch);
-  3. emit (new_doc, existing_doc, n_bands) duplicate hits to a sink table;
-  4. append the batch's buckets to the index.
+     UNION the batch's own buckets — so two near-duplicates arriving in the
+     same micro-batch are detected (intra-batch pairs are canonicalized
+     ``existing_doc < new_doc`` to avoid double emission);
+  3. emit (new_doc, existing_doc, n_bands) duplicate hits, partitioned by
+     epoch with dynamic partition overwrite (replays overwrite, never
+     double-append);
+  4. append the batch's buckets to the index, partitioned by
+     (epoch, shard) where ``shard = pmod(xxhash64(band_key), n_shards)``.
+
+Scale notes (100 TB crawl):
+- The index read excludes the CURRENT epoch's partitions (replay safety:
+  a replayed batch's rows may already be in the index) and prunes to the
+  shards actually present in the batch — for small batches against a large
+  index this skips most index partitions at the parquet-directory level.
+- The join is an equi-join on (shard, band_idx, band_key); with AQE it
+  broadcast-joins small batches against matching index shards. For an
+  always-hot index at extreme scale the idiomatic upgrade is a bucketed
+  table (``bucketBy(n, "band_key")``) or an external KV index — the
+  operator shape here is unchanged either way.
 
 Exactly-once-ish: Structured Streaming checkpointing replays failed
-batches; the index append is epoch-tagged so replays overwrite rather than
-double-append.
+batches; both sinks are epoch-partitioned with dynamic overwrite, so a
+replayed epoch rewrites its own partitions idempotently.
 """
 
 from __future__ import annotations
@@ -32,19 +48,22 @@ PAGES_STREAM_SCHEMA = (
     "text string, lang string"
 )
 
+HITS_SCHEMA = "new_doc long, existing_doc long, n_bands long, epoch long"
+
 
 class IncrementalDedup:
     """foreachBatch-driven incremental dedup over a streaming pages source."""
 
-    def __init__(self, config: DedupConfig, work_dir: str):
+    def __init__(self, config: DedupConfig, work_dir: str, n_shards: int = 64):
         self.config = config
         self.work_dir = work_dir
+        self.n_shards = n_shards
         self.index_dir = os.path.join(work_dir, "bucket_index")
         self.hits_dir = os.path.join(work_dir, "dup_hits")
         self.checkpoint_dir = os.path.join(work_dir, "stream_checkpoint")
         self.pipe = DedupPipeline(config)
 
-    def _index_exists(self, spark: SparkSession) -> bool:
+    def _index_exists(self) -> bool:
         # dynamic partition overwrite writes only epoch=N/ dirs (no
         # top-level _SUCCESS marker)
         return os.path.isdir(self.index_dir) and any(
@@ -52,30 +71,65 @@ class IncrementalDedup:
             for f in os.listdir(self.index_dir)
         )
 
+    def _shard(self) -> F.Column:
+        return F.pmod(F.xxhash64("band_key"), F.lit(self.n_shards)).cast("int")
+
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        buckets = self.pipe.buckets(
-            self.pipe.signatures_from_text(batch_df)
-        ).withColumn("epoch", F.lit(epoch_id))
-        buckets = buckets.persist()
-        if self._index_exists(spark):
-            index = spark.read.parquet(self.index_dir)
-            hits = (
-                buckets.join(
-                    index.withColumnRenamed("doc_id", "existing_doc"),
-                    ["band_idx", "band_key"],
+        buckets = (
+            self.pipe.buckets(self.pipe.signatures_from_text(batch_df))
+            .withColumn("epoch", F.lit(epoch_id))
+            .withColumn("shard", self._shard())
+            .persist()
+        )
+
+        # Build side: accumulated index (minus this epoch — replay safety)
+        # pruned to the batch's shards, UNION the batch's own buckets so
+        # intra-batch duplicates pair up.
+        probe = buckets.select("shard", "band_idx", "band_key", "doc_id")
+        build = buckets.select(
+            "shard",
+            "band_idx",
+            "band_key",
+            F.col("doc_id").alias("existing_doc"),
+            F.lit(False).alias("from_index"),
+        )
+        if self._index_exists():
+            batch_shards = [
+                r["shard"] for r in buckets.select("shard").distinct().collect()
+            ]
+            index = (
+                spark.read.parquet(self.index_dir)
+                .where(F.col("epoch") != epoch_id)  # partition-pruned
+                .where(F.col("shard").isin(batch_shards))  # partition-pruned
+                .select(
+                    "shard",
+                    "band_idx",
+                    "band_key",
+                    F.col("doc_id").alias("existing_doc"),
+                    F.lit(True).alias("from_index"),
                 )
-                .where(F.col("doc_id") != F.col("existing_doc"))
-                .groupBy(
-                    F.col("doc_id").alias("new_doc"), F.col("existing_doc")
-                )
-                .agg(F.count("*").alias("n_bands"))
-                .where(F.col("n_bands") >= self.config.alpha)
-                .withColumn("epoch", F.lit(epoch_id))
             )
-            hits.write.mode("append").parquet(self.hits_dir)
-        # epoch-partitioned append → replayed epochs overwrite, not duplicate
-        buckets.write.partitionBy("epoch").mode("overwrite").option(
+            build = index.unionByName(build)
+        hits = (
+            probe.join(build, ["shard", "band_idx", "band_key"])
+            # vs index: any orientation; intra-batch: canonical order only
+            .where(
+                F.col("from_index")
+                | (F.col("existing_doc") < F.col("doc_id"))
+            )
+            .where(F.col("doc_id") != F.col("existing_doc"))
+            .groupBy(F.col("doc_id").alias("new_doc"), F.col("existing_doc"))
+            .agg(F.count("*").alias("n_bands"))
+            .where(F.col("n_bands") >= self.config.alpha)
+            .withColumn("epoch", F.lit(epoch_id))
+        )
+        # epoch-partitioned dynamic overwrite on BOTH sinks → a replayed
+        # epoch rewrites its own partitions, never double-appends.
+        hits.write.partitionBy("epoch").mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(self.hits_dir)
+        buckets.write.partitionBy("epoch", "shard").mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).parquet(self.index_dir)
         buckets.unpersist()
@@ -95,4 +149,8 @@ class IncrementalDedup:
         )
 
     def hits(self, spark: SparkSession) -> DataFrame:
+        if not os.path.isdir(self.hits_dir) or not any(
+            f.startswith("epoch=") for f in os.listdir(self.hits_dir)
+        ):
+            return spark.createDataFrame([], HITS_SCHEMA)
         return spark.read.parquet(self.hits_dir)

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from lsh_qd_spark.config import DedupConfig
 from lsh_qd_spark.streaming.incremental import IncrementalDedup
-from lsh_qd_spark.synth import SynthConfig, generate_pages
+from lsh_qd_spark.synth import SynthConfig, generate_pages, truth_pairs
 
 
 def test_incremental_dedup(spark, tmp_path):
@@ -54,3 +54,54 @@ def test_incremental_dedup(spark, tmp_path):
     # hits reference genuine cluster siblings
     for r in hits.limit(20).collect():
         assert (r["new_doc"] - dstart) // 3 == (r["existing_doc"] - dstart) // 3
+
+
+def test_intra_batch_duplicates_detected(spark, tmp_path):
+    """Two near-dups arriving in the SAME micro-batch must pair up
+    (round-1 verdict: permanent recall gap when probing only the index)."""
+    work = str(tmp_path / "work")
+    cfg = SynthConfig(n_docs=120, seed=23)
+    pages = generate_pages(spark, cfg).cache()
+    # alpha=2: streaming hits are LSH candidates (no Jaccard verify against
+    # the index), so require >=2 band collisions to suppress random
+    # single-band noise; planted tiers (>=0.6) pass at p≈0.995/pair.
+    inc = IncrementalDedup(
+        DedupConfig(rows_per_band=2, num_bands=16, alpha=2), work
+    )
+    # single batch containing whole dup clusters — no pre-existing index
+    inc.process_batch(pages, epoch_id=0)
+    hits = inc.hits(spark).collect()
+    assert hits, "intra-batch duplicates were not emitted"
+    truth = {
+        (r["id_a"], r["id_b"]) for r in truth_pairs(spark, cfg).collect()
+    }
+    got = set()
+    for r in hits:
+        assert r["existing_doc"] < r["new_doc"]  # canonical order
+        got.add((r["existing_doc"], r["new_doc"]))
+    # precision: every hit is a genuine planted pair (incl. boiler cluster)
+    assert got <= truth, f"false pairs: {sorted(got - truth)[:5]}"
+    # recall: nearly all planted pairs recovered within the single batch
+    assert len(got & truth) >= 0.95 * len(truth)
+
+
+def test_replayed_epoch_does_not_double_append(spark, tmp_path):
+    """Structured Streaming replays a failed epoch: both sinks must be
+    idempotent (dynamic partition overwrite keyed by epoch)."""
+    work = str(tmp_path / "work")
+    cfg = SynthConfig(n_docs=120, seed=29)
+    pages = generate_pages(spark, cfg).cache()
+    inc = IncrementalDedup(
+        DedupConfig(rows_per_band=2, num_bands=16, alpha=1), work
+    )
+    inc.process_batch(pages, epoch_id=0)
+    first_hits = sorted(
+        (r["new_doc"], r["existing_doc"]) for r in inc.hits(spark).collect()
+    )
+    first_index = spark.read.parquet(inc.index_dir).count()
+    inc.process_batch(pages, epoch_id=0)  # simulated replay
+    replay_hits = sorted(
+        (r["new_doc"], r["existing_doc"]) for r in inc.hits(spark).collect()
+    )
+    assert replay_hits == first_hits
+    assert spark.read.parquet(inc.index_dir).count() == first_index
