@@ -119,10 +119,13 @@ def lsh_topk(
         bits_per_table,
     )
 
+    # Explode IDS + KEYS ONLY: embedding arrays must not ride through the
+    # ×n_tables posexplode/shuffle (round-1 verdict: n_tables copies of
+    # every vector through the join). Embeddings are re-attached AFTER the
+    # candidate dedup — the same fetch-late shape as verify_pairs for text.
     def bucketed(df: DataFrame, out_id: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(out_id),
-            F.col(emb_col).alias(f"{out_id}_emb"),
             F.posexplode(udf(F.col(emb_col))).alias("table_idx", "band_key"),
         )
 
@@ -131,15 +134,23 @@ def lsh_topk(
     cand = (
         cq.join(cc, ["table_idx", "band_key"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "query_id_emb", "neighbor_id", "neighbor_id_emb")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        cosine_expr(F.col("query_id_emb"), F.col("neighbor_id_emb")).alias(
-            "cosine"
-        ),
+    q_emb = queries.select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+    )
+    c_emb = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("n_emb")
+    )
+    scored = (
+        cand.join(F.broadcast(q_emb), "query_id")  # query side is small
+        .join(c_emb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

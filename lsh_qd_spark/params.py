@@ -34,7 +34,9 @@ def collision_prob_alpha(sim, k: int, l: int, alpha: int):
     p = sim**k
     out = np.zeros_like(p)
     for i in range(alpha, l + 1):
-        out += math.comb(l, i) * p**i * (1.0 - p) ** (l - i)
+        # float(): C(l,i) can exceed int64 (l>~60) — a raw bigint turns the
+        # ndarray product into dtype=object
+        out += float(math.comb(l, i)) * p**i * (1.0 - p) ** (l - i)
     return out
 
 
@@ -70,8 +72,28 @@ def collision_prob_pstable(dists, r: float, k: int, l: int, alpha: int = 1):
     p = base**k
     out = np.zeros_like(p)
     for i in range(alpha, l + 1):
-        out += math.comb(l, i) * p**i * (1.0 - p) ** (l - i)
+        out += float(math.comb(l, i)) * p**i * (1.0 - p) ** (l - i)
     return out
+
+
+def binom_tail_all_alphas(p: float, l: int) -> np.ndarray:
+    """tail[a-1] = P(Binom(l, p) ≥ a) for a = 1..l, in one pmf pass +
+    reverse cumsum — O(l) instead of the O(l²) of calling the tail sum per
+    alpha. Used by the joint planners where l reaches the grid bound."""
+    if p <= 0.0:
+        return np.zeros(l)
+    if p >= 1.0:
+        return np.ones(l)
+    i = np.arange(0, l + 1, dtype=np.float64)
+    logc = np.array(
+        [
+            math.lgamma(l + 1) - math.lgamma(j + 1) - math.lgamma(l - j + 1)
+            for j in range(l + 1)
+        ]
+    )
+    pmf = np.exp(logc + i * math.log(p) + (l - i) * math.log1p(-p))
+    tails = np.cumsum(pmf[::-1])[::-1]  # tails[a] = P(X >= a)
+    return np.minimum(tails[1:], 1.0)
 
 
 @dataclass(frozen=True)
@@ -195,6 +217,166 @@ def plan_pstable(
     if best is None:
         raise ValueError("no (r,k,l) meets the constraints")
     return best
+
+
+@dataclass(frozen=True)
+class JointPlan:
+    """One LSH structure, one alpha per neighborhood ball (AlphaLSH)."""
+
+    k: int
+    l: int
+    alphas: tuple[int, ...]
+    r: float | None = None
+
+
+def valid_kl_minhash(
+    s1: float,
+    s2: float,
+    posi_rate: float = 0.90,
+    false_rate: float = 0.10,
+    max_k: int = 1000,
+    max_l: int = 1000,
+) -> np.ndarray:
+    """Vectorized twin of get_k_l_minhash (/root/reference/lsh-qd.py:944-979):
+    all (k, l) grid points with P(collide|s1) ≥ posi_rate and
+    P(collide|s2) ≤ false_rate, in the reference's row-major order
+    (k ascending, l ascending within k). Whole grid in four NumPy
+    broadcasts instead of the reference's meshgrid + same argwhere."""
+    ks = np.arange(1, max_k + 1, dtype=np.float64)
+    ls = np.arange(1, max_l + 1, dtype=np.float64)
+    pk1 = s1**ks
+    pk2 = s2**ks
+    p_tp = 1.0 - (1.0 - pk1[:, None]) ** ls[None, :]
+    p_fp = 1.0 - (1.0 - pk2[:, None]) ** ls[None, :]
+    return np.argwhere((p_tp >= posi_rate) & (p_fp <= false_rate)) + 1
+
+
+def greatest_valid_alpha(
+    k: int,
+    l: int,
+    s1: float,
+    s2: float,
+    posi_rate: float = 0.90,
+    false_rate: float = 0.10,
+) -> int | None:
+    """Greatest alpha with P_alpha(s1) ≥ posi_rate and P_alpha(s2) ≤
+    false_rate — get_alpha_minhash (lsh-qd.py:876-910) without its
+    empty-grid IndexError (``valid_alphas[-1]`` on an empty argwhere):
+    returns None when no alpha qualifies."""
+    best = None
+    for alpha in range(1, l + 1):
+        p_t = float(collision_prob_alpha(s1, k, l, alpha))
+        p_f = float(collision_prob_alpha(s2, k, l, alpha))
+        if p_t >= posi_rate and p_f <= false_rate:
+            best = alpha
+    return best
+
+
+def greatest_valid_alpha_pstable(
+    r: float,
+    k: int,
+    l: int,
+    d1: float,
+    d2: float,
+    posi_rate: float = 0.90,
+    false_rate: float = 0.10,
+) -> int | None:
+    """p-stable analog — get_alpha_pstable (lsh-qd.py:913-941), same
+    empty-grid fix; O(l) via the cumsum tail (values match the reference's
+    per-alpha sums to float precision)."""
+    p1 = _pstable_base_prob(d1, r) ** k
+    p2 = _pstable_base_prob(d2, r) ** k
+    t1 = binom_tail_all_alphas(p1, l)
+    t2 = binom_tail_all_alphas(p2, l)
+    valid = np.flatnonzero((t1 >= posi_rate) & (t2 <= false_rate))
+    return int(valid[-1]) + 1 if valid.size else None
+
+
+def _check_balls(posi_dists, false_dists) -> None:
+    if not (
+        posi_dists[-1] == max(posi_dists) and false_dists[-1] == max(false_dists)
+    ):
+        raise ValueError("largest neighborhood ball must come last")
+
+
+def plan_minhash_joint(
+    posi_dists,
+    false_dists,
+    posi_rate: float = 0.90,
+    false_rate: float = 0.10,
+    max_k: int = 1000,
+    max_l: int = 1000,
+) -> JointPlan:
+    """Joint (k, l, alphas) search — get_k_l_alpha_minhash
+    (/root/reference/lsh-qd.py:821-846). Inputs are Jaccard DISTANCES
+    (1 - sim), one (posi, false) pair per neighborhood ball, largest ball
+    LAST (asserted, as the reference does): alpha=1 must satisfy the most
+    permissive ball, so the (k, l) grid is seeded from it, then one alpha
+    is tuned per ball.
+
+    Deliberate divergence (documented, not copied): the reference raises on
+    the FIRST grid point whose alpha search fails (its loop body can never
+    reach a second iteration); we keep scanning grid points and raise only
+    when the grid is exhausted — identical output wherever the reference
+    succeeds, defined output on a strict superset of inputs."""
+    _check_balls(posi_dists, false_dists)
+    s1 = 1.0 - float(posi_dists[-1])
+    s2 = 1.0 - float(false_dists[-1])
+    for k, l in valid_kl_minhash(s1, s2, posi_rate, false_rate, max_k, max_l):
+        k, l = int(k), int(l)
+        alphas = []
+        for pd, fd in zip(posi_dists, false_dists):
+            a = greatest_valid_alpha(k, l, 1.0 - pd, 1.0 - fd, posi_rate, false_rate)
+            if a is None:
+                break
+            alphas.append(a)
+        if len(alphas) == len(posi_dists):
+            return JointPlan(k=k, l=l, alphas=tuple(alphas))
+    raise ValueError(
+        "no (k, l) admits alpha-tuned neighborhoods for every ball — "
+        "widen the rates or the grid"
+    )
+
+
+def plan_pstable_joint(
+    posi_dists,
+    false_dists,
+    posi_rate: float = 0.90,
+    false_rate: float = 0.10,
+    rs=(0.5,),
+    max_k: int = 1000,
+    max_l: int = 400,
+) -> JointPlan:
+    """Joint (r, k, l, alphas) search — get_r_k_l_alpha_pstable
+    (/root/reference/lsh-qd.py:849-873) over get_r_k_l_pstable's grid
+    (lsh-qd.py:985-1043; rs=[0.5], k≤1000, l≤400 are its hardcoded ranges).
+    Inputs are Euclidean distances, largest ball last.
+
+    Two reference bugs deliberately not copied: (1) its argwhere+1 over the
+    3D grid returns the r INDEX+1 as the r value (so rs=[0.5] yields r=1);
+    we return the actual r. (2) the first-failure raise, as in
+    plan_minhash_joint."""
+    _check_balls(posi_dists, false_dists)
+    for r in rs:
+        p1 = _pstable_base_prob(float(posi_dists[-1]), r)
+        p2 = _pstable_base_prob(float(false_dists[-1]), r)
+        # the reference evaluates 1-(1-p^k)^l on the cached base probs —
+        # the same grid as the MinHash search with s := p_proj
+        for k, l in valid_kl_minhash(p1, p2, posi_rate, false_rate, max_k, max_l):
+            k, l = int(k), int(l)
+            alphas = []
+            for pd, fd in zip(posi_dists, false_dists):
+                a = greatest_valid_alpha_pstable(
+                    r, k, l, float(pd), float(fd), posi_rate, false_rate
+                )
+                if a is None:
+                    break
+                alphas.append(a)
+            if len(alphas) == len(posi_dists):
+                return JointPlan(k=k, l=l, alphas=tuple(alphas), r=r)
+    raise ValueError(
+        "no (r, k, l) admits alpha-tuned neighborhoods for every ball"
+    )
 
 
 def ranked_tiers(

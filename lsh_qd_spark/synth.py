@@ -305,3 +305,95 @@ def truth_pairs(spark: SparkSession, cfg: SynthConfig) -> DataFrame:
     return a.join(b, "cluster_id").where(F.col("id_a") < F.col("id_b")).select(
         "id_a", "id_b", "tier"
     )
+
+
+@dataclass(frozen=True)
+class AnnulusConfig:
+    """Multi-annulus planted dataset — gen_planted_rand_data_real
+    (/root/reference/lsh-qd.py:661-715): around each query point, one
+    planted neighbor per radius ring; ring i points land at Euclidean
+    distance in (rs[i-1], rs[i]]; background points at distance in
+    [rs[-1] + err_width, rs[-1] + err_width + epsilon] of a random query.
+    Rings are the ground truth for ranked-neighbor retrieval (C3/C4)."""
+
+    n_queries: int = 50
+    n_data: int = 500
+    n_dims: int = 100
+    rs: tuple = (0.1, 0.2, 0.3)
+    err_width: float = 0.3
+    epsilon: float = 0.3
+    seed: int = 42
+
+    @property
+    def n_ring_points(self) -> int:
+        return self.n_queries * len(self.rs)
+
+
+def _annulus_query_vec(cfg: AnnulusConfig, q: int) -> np.ndarray:
+    """Query point q — uniform direction scaled into the reference's
+    0.72-ball (gen_uni_rand_data_real, lsh-qd.py:637-658)."""
+    rng = np.random.default_rng((cfg.seed, 30, q))
+    v = rng.standard_normal(cfg.n_dims)
+    return v / np.linalg.norm(v) * 0.72 * rng.random() ** (1.0 / cfg.n_dims)
+
+
+def generate_annulus_queries(spark: SparkSession, cfg: AnnulusConfig) -> DataFrame:
+    """(vec_id, embedding): the query points, ids [0, n_queries)."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = [
+                _annulus_query_vec(cfg, int(i)).astype(np.float32).tolist()
+                for i in ids
+            ]
+            yield pd.DataFrame({"vec_id": ids.astype(np.int64), "embedding": rows})
+
+    return spark.range(cfg.n_queries).mapInPandas(
+        gen, schema="vec_id long, embedding array<float>"
+    )
+
+
+def generate_annulus_data(spark: SparkSession, cfg: AnnulusConfig) -> DataFrame:
+    """(vec_id, embedding, query_id, ring): the corpus. Ring block layout
+    follows the reference (ring i occupies positions [n_queries*i,
+    n_queries*(i+1)), neighbor of query position % n_queries); ring=-1 =
+    background. vec_ids are offset by n_queries so the corpus and query id
+    spaces are disjoint (self-exclusion in query joins must not drop
+    planted neighbors). Distances are exact by construction (float32
+    storage adds ~1e-7). Deterministic per (seed, position)."""
+
+    def one(vec_id: int) -> tuple[np.ndarray, int, int]:
+        rng = np.random.default_rng((cfg.seed, 31, vec_id))
+        u = rng.standard_normal(cfg.n_dims)
+        u /= np.linalg.norm(u)
+        if vec_id < cfg.n_ring_points:
+            ring, q = divmod(vec_id, cfg.n_queries)
+            r0 = 0.0 if ring == 0 else cfg.rs[ring - 1]
+            d = r0 + rng.random() * (cfg.rs[ring] - r0)
+        else:
+            ring, q = -1, int(rng.integers(cfg.n_queries))
+            d = cfg.rs[-1] + cfg.err_width + rng.random() * cfg.epsilon
+        return _annulus_query_vec(cfg, q) + u * d, q, ring
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vecs, qs, rings = [], [], []
+            for i in ids:
+                v, q, ring = one(int(i))
+                vecs.append(v.astype(np.float32).tolist())
+                qs.append(q)
+                rings.append(ring)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids.astype(np.int64) + cfg.n_queries,
+                    "embedding": vecs,
+                    "query_id": qs,
+                    "ring": rings,
+                }
+            )
+
+    return spark.range(cfg.n_data).mapInPandas(
+        gen, schema="vec_id long, embedding array<float>, query_id long, ring int"
+    )
