@@ -1,0 +1,105 @@
+"""Table IO abstraction — Iceberg catalog when configured, parquet fallback.
+
+The north rule's input is "Iceberg tables of Common-Crawl-style pages"; this
+sandbox has no Iceberg jars, so every read/write in the engine routes
+through this module instead of hard-coding ``spark.read.parquet`` (SURVEY.md
+§7, round-1 verdict missing item 5):
+
+- a reference containing ``/`` (or ending ``.parquet``) is a FILESYSTEM
+  path → ``spark.read.format(...).load`` / ``df.write`` (the sandbox mode);
+- anything else is a CATALOG table identifier (``cat.db.pages``) →
+  ``spark.table`` / ``df.writeTo`` (DataSourceV2) — with an Iceberg catalog
+  configured (``spark.sql.catalog.<name> = org.apache.iceberg...``), this
+  is the production mode: snapshot isolation, hidden partitioning, and
+  metadata-level partition pruning come from the catalog, and the engine
+  code is unchanged.
+
+``iceberg_catalogs`` detects configured catalogs so callers can assert the
+production mode is actually active before relying on table semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+ICEBERG_CATALOG_IMPLS = (
+    "org.apache.iceberg.spark.SparkCatalog",
+    "org.apache.iceberg.spark.SparkSessionCatalog",
+)
+
+
+def iceberg_catalogs(spark: SparkSession) -> list[str]:
+    """Names of Iceberg catalogs configured on this session (empty in the
+    sandbox — no Iceberg jars)."""
+    out = []
+    for k, v in spark.sparkContext.getConf().getAll():
+        parts = k.split(".")
+        if (
+            k.startswith("spark.sql.catalog.")
+            and len(parts) == 4
+            and v in ICEBERG_CATALOG_IMPLS
+        ):
+            out.append(parts[3])
+    return sorted(out)
+
+
+def is_path_ref(ref: str) -> bool:
+    """Filesystem path vs catalog table identifier."""
+    return "/" in ref or ref.endswith(".parquet")
+
+
+def read_table(spark: SparkSession, ref: str, format: str = "parquet") -> DataFrame:
+    """Read an input table by catalog identifier or file path."""
+    if is_path_ref(ref):
+        return spark.read.format(format).load(ref)
+    return spark.table(ref)
+
+
+# Input-table alias matching the north rule's vocabulary.
+read_pages = read_table
+
+
+def write_stage(
+    df: DataFrame,
+    ref: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    format: str = "parquet",
+) -> None:
+    """Write a stage table by catalog identifier (DataSourceV2 writeTo) or
+    file path. ``mode``: overwrite | append | dynamic_overwrite (replaces
+    only the partitions present in ``df`` — replay-idempotent sinks)."""
+    if is_path_ref(ref):
+        w = df.write.format(format)
+        if mode == "dynamic_overwrite":
+            w = w.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        else:
+            w = w.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(ref)
+        return
+    from pyspark.sql import functions as F
+
+    w = df.writeTo(ref)
+    if partition_by:
+        w = w.partitionedBy(*[F.col(c) for c in partition_by])
+    if mode == "overwrite":
+        w.createOrReplace()
+    elif mode == "append":
+        w.append()
+    elif mode == "dynamic_overwrite":
+        w.overwritePartitions()
+    else:
+        raise ValueError(f"unknown write mode: {mode}")
+
+
+read_stage = read_table
+
+
+def stage_exists(spark: SparkSession, ref: str) -> bool:
+    if is_path_ref(ref):
+        return os.path.exists(ref)
+    return spark.catalog.tableExists(ref)

@@ -42,11 +42,15 @@ NEAR_DUP_COSINE = 0.98
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from lsh_qd_spark.io import read_pages
+
+    return read_pages(spark, f"{sf_dir}/documents.parquet")
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from lsh_qd_spark.io import read_pages
+
+    return read_pages(spark, f"{sf_dir}/embeddings.parquet")
 
 
 # ---------------------------------------------------------------------------

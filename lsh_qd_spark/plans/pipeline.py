@@ -49,7 +49,11 @@ class StageMetrics:
 
 
 class StageStore:
-    """Manifest-guarded parquet materialization for resume + lineage."""
+    """Manifest-guarded stage materialization for resume + lineage.
+
+    Stage tables go through lsh_qd_spark.io (Iceberg identifier or parquet
+    dir); manifests (config hash + per-partition lineage) stay JSON files
+    under ``root`` either way."""
 
     def __init__(self, spark: SparkSession, root: str, config_hash: str):
         self.spark = spark
@@ -64,6 +68,8 @@ class StageStore:
         )
 
     def load(self, stage: str) -> DataFrame | None:
+        from lsh_qd_spark.io import read_stage
+
         data_path, manifest_path = self._paths(stage)
         if not os.path.exists(manifest_path):
             return None
@@ -71,13 +77,15 @@ class StageStore:
             manifest = json.load(f)
         if manifest.get("config_hash") != self.config_hash:
             return None
-        return self.spark.read.parquet(data_path)
+        return read_stage(self.spark, data_path)
 
     def save(self, stage: str, df: DataFrame) -> tuple[DataFrame, StageMetrics]:
+        from lsh_qd_spark.io import read_stage, write_stage
+
         data_path, manifest_path = self._paths(stage)
         t0 = time.time()
-        df.write.mode("overwrite").parquet(data_path)
-        out = self.spark.read.parquet(data_path)
+        write_stage(df, data_path, mode="overwrite")
+        out = read_stage(self.spark, data_path)
         # Per-partition lineage: rows per output partition (north rule:
         # "per-partition lineage and metrics").
         part_rows = {

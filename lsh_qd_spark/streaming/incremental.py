@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lsh_qd_spark.config import DedupConfig
+from lsh_qd_spark.io import read_stage, write_stage
 from lsh_qd_spark.plans.pipeline import DedupPipeline
 
 PAGES_STREAM_SCHEMA = (
@@ -99,7 +100,7 @@ class IncrementalDedup:
                 r["shard"] for r in buckets.select("shard").distinct().collect()
             ]
             index = (
-                spark.read.parquet(self.index_dir)
+                read_stage(spark, self.index_dir)
                 .where(F.col("epoch") != epoch_id)  # partition-pruned
                 .where(F.col("shard").isin(batch_shards))  # partition-pruned
                 .select(
@@ -126,12 +127,10 @@ class IncrementalDedup:
         )
         # epoch-partitioned dynamic overwrite on BOTH sinks → a replayed
         # epoch rewrites its own partitions, never double-appends.
-        hits.write.partitionBy("epoch").mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).parquet(self.hits_dir)
-        buckets.write.partitionBy("epoch", "shard").mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).parquet(self.index_dir)
+        write_stage(hits, self.hits_dir, "dynamic_overwrite", ["epoch"])
+        write_stage(
+            buckets, self.index_dir, "dynamic_overwrite", ["epoch", "shard"]
+        )
         buckets.unpersist()
 
     def start(self, spark: SparkSession, source_dir: str, **read_options):
@@ -153,4 +152,4 @@ class IncrementalDedup:
             f.startswith("epoch=") for f in os.listdir(self.hits_dir)
         ):
             return spark.createDataFrame([], HITS_SCHEMA)
-        return spark.read.parquet(self.hits_dir)
+        return read_stage(spark, self.hits_dir)
