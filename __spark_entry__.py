@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship near-dup query at sf0.001;
-``queries()``/``oracle_sql()`` expose every SQL-expressible operator of the
-engine (see lsh_qd_spark/oracle.py and extra_queries.py). Only the
-suffix-array exact-overlap kernel has no SQL twin (rows-only check; its
-oracle is tests/test_suffix.py).
+``queries()``/``oracle_sql()`` expose every operator of the engine (see
+lsh_qd_spark/oracle.py and extra_queries.py). Every queries() entry has a
+DuckDB oracle twin — including the suffix-array exact-overlap kernel, whose
+twin uses the diagonal-runs LCS characterization.
 """
 
 from __future__ import annotations

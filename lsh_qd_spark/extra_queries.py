@@ -1,12 +1,15 @@
 """Non-core operator queries + their DuckDB oracle twins.
 
 Round 1 shipped these four as rows-only checks; round 2 adds real ANSI-SQL
-twins for the three that are SQL-expressible (``simhash_near_dup``,
-``pstable_buckets``, ``ann_lsh_topk``) using the same literal-coefficient
+twins for all four. ``simhash_near_dup``, ``pstable_buckets`` and
+``ann_lsh_topk`` use the same literal-coefficient
 ``list_reduce``/``list_transform`` technique as lsh_qd_spark/oracle.py.
-Only ``suffix_exact_overlap`` (suffix-array LCS, operators/suffix.py)
-remains rows-only — its kernel is genuinely not SQL-expressible; pytest
-(tests/test_suffix.py) is its oracle.
+``suffix_exact_overlap`` (suffix-array LCS, operators/suffix.py) gets an
+exact SQL twin via the diagonal-runs characterization of the longest common
+substring: for alignment offset d = i - j, the LCS restricted to d is the
+longest run of consecutive positions with a[i] = b[i-d]; the LCS is the max
+run over all diagonals — a char-equality join + gaps-and-islands window,
+no suffix array needed at oracle scale.
 
 Float determinism: every dot product that feeds a *discrete* decision
 (``floor`` bucket, ``> 0`` sign bit) is computed by NumPy matmul on the
@@ -245,8 +248,9 @@ SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {ANN_TOP_K}
 
 def q_suffix_exact_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-overlap lengths (suffix-array LCS) for verified near-dup pairs.
-    No SQL twin: the rank-doubling SA + Kasai LCP kernel
-    (operators/suffix.py) is not SQL-expressible; oracle = test_suffix.py."""
+    Spark side runs the rank-doubling SA + Kasai LCP kernel
+    (operators/suffix.py); the SQL twin computes the same LCS via
+    diagonal runs (see module docstring)."""
     from lsh_qd_spark.oracle import q_verified_pairs
 
     docs = _docs(spark, sf_dir).select(
@@ -256,6 +260,59 @@ def q_suffix_exact_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_overlap(pairs, docs, min_len=SUFFIX_MIN_OVERLAP)
 
 
+def _sql_suffix_exact_overlap() -> str:
+    """DuckDB twin of q_suffix_exact_overlap. Exact: LCS(a, b) is the longest
+    run of consecutive char matches along one alignment diagonal d = i - j.
+    Join the two char sequences on char equality, then gaps-and-islands per
+    (pair, d): consecutive i's in a diagonal share `i - ROW_NUMBER()`."""
+    from lsh_qd_spark.oracle import (
+        DUCK_NORM,
+        DUCK_PAIRS_CTE,
+        duck_bands_cte,
+        duck_verified_cte,
+    )
+
+    return f"""
+WITH {duck_bands_cte(ORACLE_CFG)},
+{DUCK_PAIRS_CTE},
+{duck_verified_cte(ORACLE_CFG.jaccard_threshold)},
+norm AS (SELECT doc_id, {DUCK_NORM} AS txt FROM documents),
+pt AS (
+  SELECT v.id_a, v.id_b, na.txt AS ta, nb.txt AS tb
+  FROM verified v
+  JOIN norm na ON na.doc_id = v.id_a
+  JOIN norm nb ON nb.doc_id = v.id_b
+),
+ca AS (
+  SELECT id_a, id_b,
+         unnest(generate_series(1, length(ta))) AS i,
+         unnest(string_split(ta, '')) AS ch
+  FROM pt
+),
+cb AS (
+  SELECT id_a, id_b,
+         unnest(generate_series(1, length(tb))) AS j,
+         unnest(string_split(tb, '')) AS ch
+  FROM pt
+),
+m AS (
+  SELECT ca.id_a, ca.id_b, ca.i, cb.j
+  FROM ca JOIN cb ON ca.id_a = cb.id_a AND ca.id_b = cb.id_b AND ca.ch = cb.ch
+),
+runs AS (
+  SELECT id_a, id_b, i, i - j AS d,
+         i - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, i - j ORDER BY i) AS grp
+  FROM m
+),
+lens AS (
+  SELECT id_a, id_b, COUNT(*) AS run_len
+  FROM runs GROUP BY id_a, id_b, d, grp
+)
+SELECT id_a, id_b, CAST(MAX(run_len) AS BIGINT) AS overlap_len
+FROM lens GROUP BY 1, 2 HAVING MAX(run_len) >= {SUFFIX_MIN_OVERLAP}
+"""
+
+
 SPARK_ONLY_QUERIES = {
     "simhash_near_dup": q_simhash_near_dup,
     "pstable_buckets": q_pstable_buckets,
@@ -263,11 +320,12 @@ SPARK_ONLY_QUERIES = {
     "suffix_exact_overlap": q_suffix_exact_overlap,
 }
 
-# DuckDB twins for the three SQL-expressible extras (built lazily: the SQL
-# embeds ~6k literal coefficients).
+# DuckDB twins for the extras (built lazily: the SQL embeds ~6k literal
+# coefficients).
 def extra_sql_queries() -> dict[str, str]:
     return {
         "simhash_near_dup": _sql_simhash_near_dup(),
         "pstable_buckets": _sql_pstable_buckets(),
         "ann_lsh_topk": _sql_ann_lsh_topk(),
+        "suffix_exact_overlap": _sql_suffix_exact_overlap(),
     }

@@ -78,12 +78,10 @@ def test_all_queries_have_callables():
         assert name in qs
 
 
-def test_spark_only_queries_run(spark):
-    """Rows-only smoke for the one remaining non-SQL-expressible operator."""
-    qs = entrymod.queries()
-    for name in ["suffix_exact_overlap"]:
-        df = qs[name](spark, SF_DIR)
-        assert df.count() >= 0
+def test_every_query_has_an_oracle():
+    """Round 2: no rows-only queries remain — every queries() entry has a
+    DuckDB twin."""
+    assert sorted(entrymod.queries().keys()) == ORACLE_NAMES
 
 
 def test_entry_smoke(spark):

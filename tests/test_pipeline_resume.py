@@ -1,0 +1,109 @@
+"""Checkpoint/resume + per-partition lineage (north rule: "resumable from
+checkpointed signature/bucket/cluster stages, emitting per-partition lineage
+and metrics").
+
+Covers plans/pipeline.py StageStore:
+- a checkpointed run writes one manifest per stage with config hash, row
+  count and per-partition row lineage;
+- a rerun with the same config reuses every completed stage (manifests
+  untouched) and returns identical results;
+- a config change invalidates the manifests and recomputes.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_qd_spark.config import DedupConfig
+from lsh_qd_spark.plans.pipeline import DedupPipeline
+from lsh_qd_spark.synth import SynthConfig, generate_pages
+
+CFG = dict(
+    shingle_k=3,
+    rows_per_band=2,
+    num_bands=8,
+    jaccard_threshold=0.7,
+    shingle_hash="fast",
+)
+STAGES = ["signatures", "buckets", "pairs", "verified", "clusters"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return generate_pages(spark, SynthConfig(n_docs=300, seed=7)).cache()
+
+
+def _manifests(root):
+    out = {}
+    for s in STAGES:
+        p = os.path.join(root, f"{s}.manifest.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                out[s] = (json.load(f), os.path.getmtime(p))
+    return out
+
+
+def _clusters_set(result):
+    return {
+        (r["doc_id"], r["cluster_id"])
+        for r in result["clusters"].collect()
+    }
+
+
+def test_checkpoint_writes_manifests_with_lineage(spark, docs, tmp_path):
+    root = str(tmp_path / "ckpt")
+    pipe = DedupPipeline(DedupConfig(**CFG), checkpoint_dir=root)
+    result = pipe.run(docs)
+    baseline = _clusters_set(result)
+
+    manifests = _manifests(root)
+    assert sorted(manifests) == sorted(STAGES)
+    for stage, (m, _) in manifests.items():
+        assert m["config_hash"] == pipe.config.config_hash()
+        assert m["rows"] == sum(m["partition_rows"].values()), stage
+        assert m["partitions"] == len(m["partition_rows"]), stage
+        assert stage in pipe.metrics
+    # a couple of synthetic pages are too short to shingle (empty-set skip)
+    assert 250 <= manifests["signatures"][0]["rows"] <= 300
+
+    # rerun with the same config: every stage loads from the store — no
+    # manifest is rewritten, results identical
+    mtimes_before = {s: t for s, (_, t) in manifests.items()}
+    pipe2 = DedupPipeline(DedupConfig(**CFG), checkpoint_dir=root)
+    result2 = pipe2.run(docs)
+    assert _clusters_set(result2) == baseline
+    assert pipe2.metrics == {}  # nothing recomputed
+    for s, (_, t) in _manifests(root).items():
+        assert t == mtimes_before[s], f"{s} manifest rewritten on resume"
+
+
+def test_partial_resume_recomputes_only_missing_stages(spark, docs, tmp_path):
+    root = str(tmp_path / "ckpt")
+    pipe = DedupPipeline(DedupConfig(**CFG), checkpoint_dir=root)
+    baseline = _clusters_set(pipe.run(docs))
+
+    # wipe the two final stage manifests: resume must recompute exactly those
+    for s in ["verified", "clusters"]:
+        os.remove(os.path.join(root, f"{s}.manifest.json"))
+    before = _manifests(root)
+    pipe2 = DedupPipeline(DedupConfig(**CFG), checkpoint_dir=root)
+    result2 = pipe2.run(docs)
+    assert _clusters_set(result2) == baseline
+    assert sorted(pipe2.metrics) == ["clusters", "verified"]
+    after = _manifests(root)
+    for s in ["signatures", "buckets", "pairs"]:
+        assert after[s][1] == before[s][1], f"{s} recomputed despite manifest"
+
+
+def test_config_change_invalidates(spark, docs, tmp_path):
+    root = str(tmp_path / "ckpt")
+    DedupPipeline(DedupConfig(**CFG), checkpoint_dir=root).run(docs)
+
+    changed = dict(CFG, jaccard_threshold=0.9)
+    pipe2 = DedupPipeline(DedupConfig(**changed), checkpoint_dir=root)
+    pipe2.run(docs)
+    assert sorted(pipe2.metrics) == sorted(STAGES)  # all recomputed
+    for s, (m, _) in _manifests(root).items():
+        assert m["config_hash"] == pipe2.config.config_hash(), s
