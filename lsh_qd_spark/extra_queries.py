@@ -34,7 +34,12 @@ from lsh_qd_spark.functions.simhash import (
     simhash_chunks,
 )
 from lsh_qd_spark.functions.text import normalize_text
-from lsh_qd_spark.operators.ann import hyperplane_coefficients, lsh_topk
+from lsh_qd_spark.operators.ann import (
+    hyperplane_coefficients,
+    ivf_centroids,
+    ivf_topk,
+    lsh_topk,
+)
 from lsh_qd_spark.operators.band import band_buckets
 from lsh_qd_spark.operators.pairs import candidate_pairs
 from lsh_qd_spark.operators.suffix import exact_overlap
@@ -59,6 +64,8 @@ ANN_TOP_K = 5
 ANN_N_TABLES = 12
 ANN_BITS_PER_TABLE = 8
 EMB_DIMS = 64
+IVF_N_CENTROIDS = 16
+IVF_NPROBE = 4
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,6 +253,70 @@ SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {ANN_TOP_K}
 """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat cosine top-k (inverted-file variant of ann_lsh_topk)."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
+    return ivf_topk(
+        emb,
+        queries,
+        k=ANN_TOP_K,
+        n_centroids=IVF_N_CENTROIDS,
+        nprobe=IVF_NPROBE,
+        n_dims=EMB_DIMS,
+    )
+
+
+def _sql_ann_ivf_topk() -> str:
+    """DuckDB twin of q_ann_ivf_topk: same literal unit centroids
+    (ivf_centroids seed=42); corpus cell = first argmax of the dot list
+    (list_position on list_max — first occurrence, matching NumPy stable
+    argsort tie order); query probes = top-nprobe by (d DESC, cell ASC)."""
+    cents = ivf_centroids(IVF_N_CENTROIDS, EMB_DIMS, 42)
+    dots = ", ".join(_duck_dot("embedding", cents[c]) for c in range(IVF_N_CENTROIDS))
+    return f"""
+WITH dl AS (
+  SELECT vec_id, [{dots}] AS ds FROM embeddings
+),
+cells AS (
+  SELECT vec_id, CAST(list_position(ds, list_max(ds)) - 1 AS BIGINT) AS cell
+  FROM dl
+),
+probe0 AS (
+  SELECT vec_id, unnest(generate_series(0, {IVF_N_CENTROIDS - 1})) AS cell,
+         unnest(ds) AS d
+  FROM dl WHERE vec_id < {ANN_N_QUERIES}
+),
+probes AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d DESC, cell ASC) AS rn
+    FROM probe0
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN cells c ON p.cell = c.cell
+  WHERE c.vec_id <> p.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         {DUCK_COSINE.format(a='qe.embedding', b='ne.embedding')} AS cosine
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {ANN_TOP_K}
+"""
+
+
 def q_suffix_exact_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-overlap lengths (suffix-array LCS) for verified near-dup pairs.
     Spark side runs the rank-doubling SA + Kasai LCP kernel
@@ -317,6 +388,7 @@ SPARK_ONLY_QUERIES = {
     "simhash_near_dup": q_simhash_near_dup,
     "pstable_buckets": q_pstable_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "suffix_exact_overlap": q_suffix_exact_overlap,
 }
 
@@ -327,5 +399,6 @@ def extra_sql_queries() -> dict[str, str]:
         "simhash_near_dup": _sql_simhash_near_dup(),
         "pstable_buckets": _sql_pstable_buckets(),
         "ann_lsh_topk": _sql_ann_lsh_topk(),
+        "ann_ivf_topk": _sql_ann_ivf_topk(),
         "suffix_exact_overlap": _sql_suffix_exact_overlap(),
     }

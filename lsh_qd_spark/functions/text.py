@@ -25,6 +25,29 @@ from lsh_qd_spark.config import HASH_M
 POLY_MULT = 31
 
 
+def extract_text(html: Column) -> Column:
+    """Extracted page text from a raw ``html`` binary column — the
+    Common-Crawl-style front step of the north rule's input table
+    (url, warc_ts, html, text, lang): ``text = extract_text(html)``.
+
+    Pure JVM regexp chain (no UDF, stays in whole-stage codegen):
+    decode UTF-8 → take the <body> element → drop <script>/<style>
+    subtrees → strip remaining tags → decode the five standard HTML
+    entities. A pure function of the bytes, so re-extraction is
+    byte-identical per url across runs and parallelism levels — the
+    input_hint invariant (tests/test_shingle.py pins round-trip equality
+    against the synth pages table).
+    """
+    s = F.decode(html, "UTF-8")
+    body = F.regexp_extract(s, r"(?is)<body[^>]*>(.*)</body>", 1)
+    body = F.regexp_replace(body, r"(?is)<(script|style)[^>]*>.*?</\1>", "")
+    txt = F.regexp_replace(body, r"(?s)<[^>]+>", "")
+    for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&amp;", "&")]:
+        txt = F.replace(txt, F.lit(ent), F.lit(ch))
+    return txt
+
+
 def normalize_text(col: Column) -> Column:
     """Lowercase, collapse all whitespace runs to single spaces, trim.
 

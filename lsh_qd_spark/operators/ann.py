@@ -5,13 +5,19 @@ The distributed re-expression of the reference's query path
 instead of per-query dict probes, queries and corpus are bucketed by the
 same LSH and equi-joined (SURVEY.md §2.4 J1).
 
-Two strategies:
+Three strategies:
 - ``brute_force_topk``: exact cosine top-k — broadcast the (small) query
   side, score JVM-side with a sequential fold (oracle-comparable), window
-  rank. The baseline and the verifier for the LSH path.
+  rank. The baseline and the verifier for the approximate paths.
 - ``lsh_topk``: random-hyperplane SimHash buckets (cosine LSH) restrict the
   scored candidates to colliding buckets — the scale path: the join is an
   equi-join on (table_idx, band_key) rather than a cross join.
+- ``ivf_topk``: inverted-file index — every corpus vector is assigned to its
+  nearest of C deterministic unit centroids (one narrow cell id per row, no
+  ×tables blow-up); queries probe their nprobe nearest cells and the join is
+  an equi-join on the cell id. The partition-pruning analog of a vector DB's
+  IVF-flat: at 100 TB the corpus would be written partitioned/bucketed BY
+  cell so a probe scans nprobe/C of the data.
 """
 
 from __future__ import annotations
@@ -95,6 +101,97 @@ def make_hyperplane_udf(planes: np.ndarray, bits_per_table: int):
         return pd.Series([row.tolist() for row in keys.astype(np.int64)])
 
     return hyperplane
+
+
+def ivf_centroids(n_centroids: int, n_dims: int, seed: int = 42) -> np.ndarray:
+    """(C, d) deterministic unit centroids (seeded Gaussian, row-normalized).
+
+    Data-independent by design: both the Spark job and the DuckDB oracle
+    twin embed the same literals, and the cell layout is stable across
+    corpus growth (no re-clustering on append — the property a streaming
+    ingest at crawl scale needs). For unit-norm data, argmax dot ==
+    argmin L2, so these are true Voronoi cells on the sphere.
+    """
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_centroids, n_dims))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def make_ivf_cells_udf(centroids: np.ndarray, nprobe: int):
+    """embedding → array<long> of the nprobe nearest cell ids (by centroid
+    dot product, ties broken by lower cell id — matches the SQL twin's
+    ORDER BY d DESC, cell ASC)."""
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def cells(emb: pd.Series) -> pd.Series:
+        mats = [np.asarray(x, dtype=np.float64) for x in emb]
+        if not mats:
+            return pd.Series([], dtype=object)
+        d = np.stack(mats) @ cents.T  # (n, C)
+        # stable argsort on -d: equal dots keep ascending cell order
+        order = np.argsort(-d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.tolist() for row in order.astype(np.int64)])
+
+    return cells
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_dims: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an inverted-file index (IVF-flat).
+
+    Corpus rows get ONE cell id (argmax centroid dot — nprobe=1), queries
+    get their nprobe nearest cells; candidates are the equi-join on cell.
+    Embeddings are fetched after candidate dedup (fetch-late, as lsh_topk).
+    """
+    cents = ivf_centroids(n_centroids, n_dims, seed)
+    assign_udf = make_ivf_cells_udf(cents, 1)
+    probe_udf = make_ivf_cells_udf(cents, nprobe)
+
+    cc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        assign_udf(F.col(emb_col))[0].alias("cell"),
+    )
+    cq = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe_udf(F.col(emb_col))).alias("cell"),
+    )
+    cand = (
+        cq.join(cc, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    q_emb = queries.select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+    )
+    c_emb = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("n_emb")
+    )
+    scored = (
+        cand.join(F.broadcast(q_emb), "query_id")
+        .join(c_emb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
 
 
 def lsh_topk(

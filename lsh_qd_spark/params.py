@@ -292,6 +292,60 @@ def greatest_valid_alpha_pstable(
     return int(valid[-1]) + 1 if valid.size else None
 
 
+def plan_min_space_minhash(
+    posi_dist: float,
+    false_dist: float,
+    posi_rate: float = 0.90,
+    false_rate: float = 0.10,
+    max_k: int = 1000,
+    max_l: int = 1000,
+) -> tuple[int, int]:
+    """Least-space (k, l) — get_min_k_l_minhash
+    (/root/reference/lsh-qd.py:1046-1063): the lexicographically first
+    valid grid point. Inputs are Jaccard DISTANCES, as in the reference.
+
+    The reference asserts that this point is also the per-axis minimum of
+    the valid set; that holds on every feasible input we've found (the
+    valid set is upward-closed in l for fixed k), so we return the same
+    point without re-asserting — and without the reference's crash path.
+    """
+    valid = valid_kl_minhash(
+        1.0 - posi_dist, 1.0 - false_dist, posi_rate, false_rate, max_k, max_l
+    )
+    if valid.size == 0:
+        raise ValueError(
+            f"no (k, l) grid point meets posi_rate>={posi_rate} and "
+            f"false_rate<={false_rate} for dists ({posi_dist}, {false_dist})"
+        )
+    return int(valid[0, 0]), int(valid[0, 1])
+
+
+def plan_min_space_pstable(
+    posi_dist: float,
+    false_dist: float,
+    posi_rate: float = 0.90,
+    false_rate: float = 0.10,
+    rs=(0.5,),
+    max_k: int = 1000,
+    max_l: int = 400,
+) -> tuple[float, int, int]:
+    """Least-space (r, k, l) — get_min_r_k_l_pstable
+    (/root/reference/lsh-qd.py:1066-1083): the first valid point of the
+    get_r_k_l_pstable grid (rs=[0.5], k≤1000, l≤400 hardcoded there).
+    Returns the actual r value, not its grid index+1 (a reference bug
+    documented at plan_pstable_joint)."""
+    for r in rs:
+        p1 = _pstable_base_prob(float(posi_dist), r)
+        p2 = _pstable_base_prob(float(false_dist), r)
+        valid = valid_kl_minhash(p1, p2, posi_rate, false_rate, max_k, max_l)
+        if valid.size:
+            return float(r), int(valid[0, 0]), int(valid[0, 1])
+    raise ValueError(
+        f"no (r, k, l) grid point meets posi_rate>={posi_rate} and "
+        f"false_rate<={false_rate} for dists ({posi_dist}, {false_dist})"
+    )
+
+
 def _check_balls(posi_dists, false_dists) -> None:
     if not (
         posi_dists[-1] == max(posi_dists) and false_dists[-1] == max(false_dists)

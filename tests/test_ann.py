@@ -55,3 +55,31 @@ def test_lsh_topk_recall_vs_brute_force(emb_df):
     a = set(zip(approx.query_id, approx.neighbor_id))
     recall = len(t & a) / len(t)
     assert recall >= 0.8, f"LSH ANN recall {recall}"
+
+
+def test_ivf_topk_recall_and_planted(emb_df):
+    """IVF-flat: planted near-identical neighbors land in the same Voronoi
+    cell (cosine ≈ 1 ⇒ same argmax centroid), so recall@1 on the planted
+    pairs is exact; overall top-3 recall vs brute force stays useful at
+    nprobe/centroids = 6/16."""
+    from lsh_qd_spark.operators.ann import ivf_topk
+
+    queries = emb_df.where(F.col("vec_id") < 10)
+    got = ivf_topk(
+        emb_df, queries, k=1, n_centroids=16, nprobe=1, n_dims=32
+    ).toPandas()
+    planted = sum(
+        got[got.query_id == q]["neighbor_id"].iloc[0] == q + 100
+        for q in range(10)
+    )
+    assert planted == 10
+
+    queries20 = emb_df.where(F.col("vec_id") < 20)
+    truth = brute_force_topk(emb_df, queries20, k=3).toPandas()
+    approx = ivf_topk(
+        emb_df, queries20, k=3, n_centroids=16, nprobe=6, n_dims=32
+    ).toPandas()
+    t = set(zip(truth.query_id, truth.neighbor_id))
+    a = set(zip(approx.query_id, approx.neighbor_id))
+    recall = len(t & a) / len(t)
+    assert recall >= 0.7, f"IVF ANN recall {recall}"

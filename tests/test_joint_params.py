@@ -86,3 +86,34 @@ def test_joint_alphas_monotone_tighter_ball_larger_alpha():
 def test_joint_requires_largest_ball_last():
     with pytest.raises(ValueError):
         plan_minhash_joint([0.3, 0.1], [0.55, 0.35])
+
+
+def test_min_space_minhash_matches_reference(reference_module):
+    from lsh_qd_spark.params import plan_min_space_minhash
+
+    ref_k, ref_l = reference_module.get_min_k_l_minhash(
+        0.30, 0.55, posi_rate=0.90, false_rate=0.10
+    )
+    got = plan_min_space_minhash(0.30, 0.55, 0.90, 0.10)
+    assert got == (int(ref_k), int(ref_l))
+
+
+def test_min_space_pstable_first_valid():
+    """get_min_r_k_l_pstable's full grid crawl is minutes-slow (and its r is
+    an index, not a value) — pin our own invariants instead: the returned
+    point is valid and no smaller l works at that (r, k)."""
+    from lsh_qd_spark.params import (
+        _pstable_base_prob,
+        plan_min_space_pstable,
+        valid_kl_minhash,
+    )
+
+    r, k, l = plan_min_space_pstable(0.20, 1.2, 0.90, 0.10)
+    assert r == 0.5
+    p1 = _pstable_base_prob(0.20, r)
+    p2 = _pstable_base_prob(1.2, r)
+    valid = valid_kl_minhash(p1, p2, 0.90, 0.10, 1000, 400)
+    assert [k, l] == valid[0].tolist()
+    assert not any(
+        (vk == k and vl < l) for vk, vl in valid.tolist()
+    )

@@ -67,3 +67,33 @@ def test_byte_identical_invariant(spark):
     one = df.coalesce(1).select(normalize_text(F.col("t")).alias("n")).collect()
     many = df.repartition(7).select(normalize_text(F.col("t")).alias("n")).collect()
     assert sorted(r["n"] for r in one) == sorted(r["n"] for r in many)
+
+
+def test_extract_text_roundtrip_synth_pages(spark):
+    """input_hint invariant: extract_text(html) is byte-identical to the
+    stored text column for every synth page — including the empty /
+    whitespace-only / tiny edge docs."""
+    from lsh_qd_spark.functions.text import extract_text
+    from lsh_qd_spark.synth import SynthConfig, generate_pages
+
+    pages = generate_pages(spark, SynthConfig(n_docs=400, seed=11))
+    mismatches = pages.where(
+        ~(extract_text(F.col("html")).eqNullSafe(F.col("text")))
+    ).count()
+    assert mismatches == 0
+
+
+def test_extract_text_entities_and_script(spark):
+    from lsh_qd_spark.functions.text import extract_text
+
+    html = (
+        "<html><head><title>T</title><style>p{color:red}</style></head>"
+        "<body><script>var x=1;</script><p>a &amp; b &lt;c&gt; "
+        "&quot;d&#39;</p></body></html>"
+    ).encode()
+    got = (
+        spark.createDataFrame([(html,)], "h binary")
+        .select(extract_text(F.col("h")).alias("v"))
+        .first()["v"]
+    )
+    assert got == "a & b <c> \"d'"
