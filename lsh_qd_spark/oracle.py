@@ -465,44 +465,80 @@ FROM toks WHERE len(t) > 0
 """
 
 
+# Per-language high-frequency stopword profiles (lowercase — tokens() already
+# normalizes). Overlapping words across languages are fine: argmax over raw
+# counts still discriminates, and ties break by dict order (first max wins),
+# identically in both engines. One dict feeds BOTH the Spark expression and
+# the generated SQL twin so the two can never drift.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it"),
+    "de": ("der", "die", "und", "das", "nicht", "ist", "ich", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "que"),
+    "es": ("el", "y", "los", "las", "por", "con", "para", "como"),
+    "pt": ("o", "e", "do", "da", "em", "um", "uma", "com"),
+    "it": ("il", "di", "che", "per", "non", "sono", "della", "gli"),
+    "nl": ("de", "het", "een", "van", "ik", "dat", "niet", "ze"),
+    "sv": ("och", "att", "det", "som", "på", "är", "av", "inte"),
+    "pl": ("i", "w", "nie", "na", "to", "się", "jest", "z"),
+    "tr": ("ve", "bir", "bu", "için", "ne", "gibi", "çok", "ama"),
+    "id": ("yang", "dan", "di", "itu", "dengan", "ini", "untuk", "tidak"),
+    "fi": ("ja", "on", "ei", "että", "hän", "se", "mutta", "oli"),
+}
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-token language heuristic (n-gram-free deterministic variant)."""
+    """Stopword-profile language ID: per-language marker-token counts over
+    the normalized token stream, argmax with deterministic tie order,
+    'und' when no marker hits. The distributable cousin of fastText-style
+    langid — one JVM higher-order-function pass, no UDF."""
     docs = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
-    markers = {"en": ("the", "and"), "de": ("der", "und"), "fr": ("le", "et"), "es": ("el", "y")}
 
     def marker_count(ws):
         # closure factory: a default arg would be introspected as a second
         # lambda parameter by F.filter
         return F.size(F.filter(toks, lambda t: t.isin(*ws)))
 
-    counts = [marker_count(ws).alias(f"c_{lang}") for lang, ws in markers.items()]
+    counts = [
+        marker_count(ws).alias(f"c_{lang}") for lang, ws in LANG_MARKERS.items()
+    ]
     scored = docs.select("doc_id", *counts)
-    best = F.greatest(*[F.col(f"c_{lg}") for lg in markers])
+    best = F.greatest(*[F.col(f"c_{lg}") for lg in LANG_MARKERS])
     guess = F.when(best == 0, F.lit("und"))
-    for lg in markers:  # first max wins, fixed order
+    for lg in LANG_MARKERS:  # first max wins, fixed order
         guess = guess.when(F.col(f"c_{lg}") == best, F.lit(lg))
     return scored.select("doc_id", guess.alias("lang_guess"))
 
 
-SQL_LANGID = f"""
+def _sql_langid() -> str:
+    cols = ",\n    ".join(
+        "len(list_filter(t, x -> x IN ({}))) AS c_{}".format(
+            ", ".join(f"'{w}'" for w in ws), lg
+        )
+        for lg, ws in LANG_MARKERS.items()
+    )
+    all_c = ",".join(f"c_{lg}" for lg in LANG_MARKERS)
+    cases = "\n       ".join(
+        f"WHEN c_{lg} = greatest({all_c}) THEN '{lg}'"
+        for lg in list(LANG_MARKERS)[:-1]
+    )
+    last = list(LANG_MARKERS)[-1]
+    return f"""
 WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
 scored AS (
   SELECT doc_id,
-    len(list_filter(t, x -> x IN ('the','and'))) AS c_en,
-    len(list_filter(t, x -> x IN ('der','und'))) AS c_de,
-    len(list_filter(t, x -> x IN ('le','et'))) AS c_fr,
-    len(list_filter(t, x -> x IN ('el','y'))) AS c_es
+    {cols}
   FROM toks
 )
 SELECT doc_id,
-  CASE WHEN greatest(c_en,c_de,c_fr,c_es) = 0 THEN 'und'
-       WHEN c_en = greatest(c_en,c_de,c_fr,c_es) THEN 'en'
-       WHEN c_de = greatest(c_en,c_de,c_fr,c_es) THEN 'de'
-       WHEN c_fr = greatest(c_en,c_de,c_fr,c_es) THEN 'fr'
-       ELSE 'es' END AS lang_guess
+  CASE WHEN greatest({all_c}) = 0 THEN 'und'
+       {cases}
+       ELSE '{last}' END AS lang_guess
 FROM scored
 """
+
+
+SQL_LANGID = _sql_langid()
 
 
 def _cosine_expr(a, b):
