@@ -12,8 +12,8 @@ Three parts:
 2. End-to-end dedup throughput (pages/sec) on a deterministic synthetic
    crawl of $SPARK_GRAFT_BENCH_DOCS pages (default 3M) — the corpus the
    north rule actually cares about (the driver tables are only 5k rows).
-   Measured in a fresh JVM with a warm-up pass and min-of-N trials (same
-   discipline as the scaling workers).
+   Measured in a fresh JVM with a warm-up pass and median-of-N trials
+   (same discipline as the scaling workers).
 3. Scaling evidence: the same dedup job at local[N] vs local[4N]
    ($SPARK_GRAFT_SCALE_CPUS, default 4,16) via child processes;
    efficiency = (rate_4N / rate_N) / 4, target ≥ 0.8 (BASELINE.md).
@@ -163,7 +163,7 @@ def headline_queries(spark) -> dict[str, float]:
 SCALE_CPUS = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_CPUS", "4,16").split(",")
 )
-SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
+SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
 
 
 def worker(cpus: int, out_path: str) -> None:
@@ -176,14 +176,22 @@ def worker(cpus: int, out_path: str) -> None:
     DedupPipeline(DedupConfig(**BENCH_CFG)).signatures_from_text(
         spark.read.parquet(path).limit(2000)
     ).count()
-    # min-of-N trials: host interference is strictly additive noise
-    best = None
+    # median-of-N trials (round-1 verdict: min-of-N inflates the scaling
+    # ratio when the slow point is interference-bound; median is the
+    # believable central tendency on a shared host)
+    secs: list[float] = []
     n_pages = 0
     for _ in range(SCALE_TRIALS):
-        n_pages, secs = run_dedup_job(spark, path)
-        best = secs if best is None else min(best, secs)
+        n_pages, s = run_dedup_job(spark, path)
+        secs.append(s)
+    secs.sort()
+    med = secs[len(secs) // 2] if len(secs) % 2 else (
+        (secs[len(secs) // 2 - 1] + secs[len(secs) // 2]) / 2
+    )
     with open(out_path, "w") as f:
-        json.dump({"cpus": cpus, "n_pages": n_pages, "sec": best}, f)
+        json.dump(
+            {"cpus": cpus, "n_pages": n_pages, "sec": med, "trials": secs}, f
+        )
     spark.stop()
 
 
@@ -248,7 +256,7 @@ def write_bench_md(payload: dict) -> None:
         f"`{json.dumps(payload.get('queries', {}))}`",
         f"Headline dedup throughput at local[{CPUS}]: "
         f"{payload.get('pages_per_sec')} pages/sec "
-        "(fresh JVM, warm-up pass, min of "
+        "(fresh JVM, warm-up pass, median of "
         f"{SCALE_TRIALS} trials — same discipline as the scaling rows).",
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

@@ -627,6 +627,36 @@ WHERE {DUCK_COSINE.format(a='a.embedding', b='b.embedding')} >= {NEAR_DUP_COSINE
 """
 
 
+# GPT-2-style pre-tokenizer pattern, lookahead-free so the SAME string is
+# valid for Java regex (Spark) and RE2 (DuckDB). Non-capturing group + an
+# explicit group index 0 on both engines (their defaults differ).
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token accounting: whitespace tokens and a BPE-ish
+    pre-tokenizer count (the two counters an LLM-data pipeline budgets by)."""
+    docs = _docs(spark, sf_dir)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.size(tokens(txt)).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(txt, F.lit(BPE_TOKEN_RE), 0))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       CAST(len({DUCK_TOKS}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(coalesce(text, ''),
+                                   '{BPE_TOKEN_RE.replace("'", "''")}', 0))
+            AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
 SQL_QUERIES: dict[str, str] = {
     "exact_dup_clusters": SQL_EXACT_DUP,
     "doc_stats": SQL_DOC_STATS,
@@ -638,6 +668,7 @@ SQL_QUERIES: dict[str, str] = {
     "jaccard_histogram": SQL_JACCARD_HISTOGRAM,
     "cluster_stats": SQL_CLUSTER_STATS,
     "token_totals": SQL_TOKEN_TOTALS,
+    "token_counts": SQL_TOKEN_COUNTS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "quality_scores": SQL_QUALITY_SCORES,
     "langid": SQL_LANGID,
@@ -656,6 +687,7 @@ SPARK_QUERIES = {
     "jaccard_histogram": q_jaccard_histogram,
     "cluster_stats": q_cluster_stats,
     "token_totals": q_token_totals,
+    "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
     "quality_scores": q_quality_scores,
     "langid": q_langid,

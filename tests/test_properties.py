@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) for the driver-side kernels:
+suffix-array LCS and the collision-probability planners. All pure
+NumPy/Python — no Spark session needed."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lsh_qd_spark.operators.suffix import (
+    lcp_array,
+    longest_common_substring,
+    suffix_array,
+)
+from lsh_qd_spark.params import (
+    binom_tail_all_alphas,
+    collision_prob,
+    collision_prob_alpha,
+    plan_minhash,
+)
+
+short_text = st.text(alphabet="abc ", min_size=0, max_size=40)
+
+
+def _lcs_brute(a: str, b: str) -> int:
+    best = 0
+    for i in range(len(a)):
+        for j in range(len(b)):
+            k = 0
+            while i + k < len(a) and j + k < len(b) and a[i + k] == b[j + k]:
+                k += 1
+            best = max(best, k)
+    return best
+
+
+@settings(max_examples=80, deadline=None)
+@given(short_text, short_text)
+def test_lcs_matches_bruteforce(a, b):
+    assert longest_common_substring(a, b) == _lcs_brute(a, b)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(2, 5), min_size=1, max_size=60))
+def test_suffix_array_is_sorted_suffix_order(codes):
+    arr = np.array(codes, dtype=np.int64)
+    sa = suffix_array(arr)
+    suffixes = [tuple(arr[i:]) for i in range(len(arr))]
+    assert [suffixes[i] for i in sa] == sorted(suffixes)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(2, 4), min_size=2, max_size=60))
+def test_lcp_matches_common_prefix(codes):
+    arr = np.array(codes, dtype=np.int64)
+    sa = suffix_array(arr)
+    lcp = lcp_array(arr, sa)
+
+    def common_prefix(i, j):
+        k = 0
+        while i + k < len(arr) and j + k < len(arr) and arr[i + k] == arr[j + k]:
+            k += 1
+        return k
+
+    for r in range(1, len(arr)):
+        assert lcp[r] == common_prefix(sa[r], sa[r - 1])
+
+
+sim = st.floats(0.05, 0.95)
+kl = st.tuples(st.integers(1, 8), st.integers(1, 64))
+
+
+@settings(max_examples=100, deadline=None)
+@given(sim, sim, kl)
+def test_collision_prob_monotone_in_sim(s_lo, s_hi, kl):
+    s1, s2 = sorted((s_lo, s_hi))
+    k, l = kl
+    assert collision_prob(s1, k, l) <= collision_prob(s2, k, l) + 1e-12
+
+
+@settings(max_examples=100, deadline=None)
+@given(sim, kl)
+def test_alpha_one_equals_vanilla(s, kl):
+    k, l = kl
+    assert abs(
+        collision_prob_alpha(s, k, l, 1) - collision_prob(s, k, l)
+    ) < 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(0.01, 0.99), st.integers(1, 40))
+def test_binom_tail_cumsum_matches_direct(p, l):
+    from math import comb
+
+    tails = binom_tail_all_alphas(p, l)
+    for alpha in (1, max(1, l // 2), l):
+        direct = sum(
+            comb(l, i) * p**i * (1 - p) ** (l - i) for i in range(alpha, l + 1)
+        )
+        assert abs(tails[alpha - 1] - direct) < 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.floats(0.6, 0.95),
+    st.floats(0.05, 0.4),
+    st.floats(0.9, 0.999),
+    st.floats(0.05, 0.3),
+)
+def test_plan_minhash_meets_its_constraints(s1, s2, min_recall, max_fp):
+    try:
+        plan = plan_minhash(s1, s2, min_recall, max_fp)
+    except ValueError:
+        return  # infeasible combination — allowed to refuse
+    assert plan.p_near >= min_recall - 1e-12
+    assert plan.p_far <= max_fp + 1e-12
