@@ -131,12 +131,15 @@ def headline_queries(spark) -> dict[str, float]:
     t0 = time.time()
     sh_udf = make_text_shingles_udf(5)
     sim_udf = make_simhash_udf()
-    fp = (
-        docs.select("doc_id", sh_udf(F.col("text")).alias("sh"))
-        .where(F.col("sh").isNotNull())
-        .select("doc_id", sim_udf(F.col("sh")).alias("simhash"))
+    # no filter between the two kernels (would double-eval via pushdown);
+    # null fingerprints are filtered AFTER the persist (cache-side filter)
+    fp = docs.select(
+        "doc_id", sim_udf(sh_udf(F.col("text"))).alias("simhash")
     ).persist()
-    cand = candidate_pairs(simhash_chunks(fp), alpha=1, max_bucket_size=500)
+    nonnull = fp.where(F.col("simhash").isNotNull())
+    cand = candidate_pairs(
+        simhash_chunks(nonnull), alpha=1, max_bucket_size=500
+    )
     f = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
     g = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
     (
@@ -233,6 +236,20 @@ def run_scaling() -> dict:
     }
 
 
+def _trial_rows() -> list[str]:
+    """Raw per-parallelism trials from the worker output files."""
+    rows = []
+    for cpus in sorted({*SCALE_CPUS, CPUS}):
+        path = f"/tmp/lsh_qd_bench_scale_{cpus}.json"
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            d = json.load(f)
+        trials = ", ".join(f"{t:.1f}" for t in d.get("trials", []))
+        rows.append(f"| local[{cpus}] | {trials} | {d['sec']:.1f} |")
+    return rows
+
+
 def write_bench_md(payload: dict) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     s = payload.get("scaling") or {}
@@ -258,6 +275,24 @@ def write_bench_md(payload: dict) -> None:
         f"{payload.get('pages_per_sec')} pages/sec "
         "(fresh JVM, warm-up pass, median of "
         f"{SCALE_TRIALS} trials — same discipline as the scaling rows).",
+        "",
+        "## Measurement discipline",
+        "",
+        "Every throughput number comes from the same protocol: fresh JVM per",
+        "parallelism level (child process), a warm-up signature pass outside",
+        f"the timed window, then median of {SCALE_TRIALS} end-to-end trials.",
+        "Raw trials (seconds):",
+        "",
+        "| parallelism | trials | median |",
+        "|---|---|---|",
+        *_trial_rows(),
+        "",
+        "The sandbox shares its host (steal-time spikes show up as trial",
+        "outliers); median absorbs them where a single cold run or min-of-N",
+        "does not. Scaling evidence uses the N→4N pair above rather than",
+        f"8→32 because a fully saturated local[{CPUS}] measures the host's",
+        "neighbors, not the engine. Physical-plan audit: BENCH/PLANS.md",
+        "(`python plan_audit.py`).",
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -75,10 +75,10 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe = DedupPipeline(ORACLE_CFG)
     shingled = pipe.shingle(docs)
     udf = make_simhash_udf()
-    fp = (
-        shingled.where(F.size("shingles") > 0)
-        .select("doc_id", udf(F.col("shingles")).alias("simhash"))
-        .where(F.col("simhash").isNotNull())
+    # the size>0 pre-filter already guarantees non-null fingerprints; a
+    # post-filter on the UDF output would double-evaluate the kernel
+    fp = shingled.where(F.size("shingles") > 0).select(
+        "doc_id", udf(F.col("shingles")).alias("simhash")
     )
     buckets = simhash_chunks(fp)
     cand = candidate_pairs(buckets, alpha=1, max_bucket_size=100_000)

@@ -76,6 +76,12 @@ def make_text_minhash_udf(num_hashes: int, k: int, seed: int = 42):
             ]
         )
 
+    # NOTE: never put a `.where(...)` on this UDF's output column in a hot
+    # path — Catalyst substitutes the UDF into the pushed-down predicate and
+    # evaluates the kernel twice per row (plan_audit.py catches this as two
+    # ArrowEvalPython nodes). Null signatures vanish at the banding
+    # posexplode instead. (asNondeterministic() also blocks the
+    # substitution, but measurably degrades downstream join planning.)
     return text_minhash
 
 
@@ -90,4 +96,5 @@ def make_text_shingles_udf(k: int):
             [None if s is None else s.view(np.int64).tolist() for s in sets]
         )
 
+    # see make_text_minhash_udf: no filters on this output in hot paths
     return text_shingles

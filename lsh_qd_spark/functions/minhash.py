@@ -122,6 +122,8 @@ def make_minhash_udf(a: np.ndarray, b: np.ndarray, p: int, reduce_mod: int | Non
         rows: list = [None if e else row.tolist() for e, row in zip(empty, mat)]
         return pd.Series(rows)
 
+    # see fast_shingle.make_text_minhash_udf: no filters on this output in
+    # hot paths (filter-pushdown substitution double-evaluates the kernel)
     return minhash
 
 

@@ -88,6 +88,8 @@ def make_simhash_udf():
             [None if e else int(v) for e, v in zip(empty, vals)]
         )
 
+    # see fast_shingle.make_text_minhash_udf: no filters on this output in
+    # hot paths (filter-pushdown substitution double-evaluates the kernel)
     return simhash
 
 

@@ -44,11 +44,23 @@ def band_buckets(
     occupies ``sig[i*rows_per_band : (i+1)*rows_per_band]``
     (``/root/reference/lsh-qd.py:37-38`` list-comprehension order).
     Narrow op (posexplode) — pipelined with the signature stage, no shuffle.
+
+    NULL signatures (empty documents — the reference's empty-set skip) emit
+    ZERO bucket rows: the band array is null-guarded to empty, so the
+    posexplode drops them. This replaces a `WHERE sig IS NOT NULL` upstream,
+    which Catalyst would push below the signature projection and thereby
+    re-evaluate the (expensive) signature UDF once for the filter and once
+    for the output (see fast_shingle.make_text_minhash_udf).
     """
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(num_bands - 1)),
-        lambda i: F.slice(F.col(sig_col), i * rows_per_band + 1, rows_per_band),
-    )
+    bands = F.when(
+        F.col(sig_col).isNotNull(),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_bands - 1)),
+            lambda i: F.slice(
+                F.col(sig_col), i * rows_per_band + 1, rows_per_band
+            ),
+        ),
+    ).otherwise(F.array().cast("array<array<bigint>>"))
     exploded = sig_df.select(
         F.col(id_col), F.posexplode(bands).alias("band_idx", "band_sig")
     )

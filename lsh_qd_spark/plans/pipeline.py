@@ -154,13 +154,14 @@ class DedupPipeline:
         )
 
     def signatures(self, shingled: DataFrame) -> DataFrame:
-        """(doc_id, sig): flat band-major MinHash signature."""
+        """(doc_id, sig): flat band-major MinHash signature. The
+        ``size(shingles) > 0`` pre-filter already guarantees non-null sigs
+        (a post-filter on the UDF output would be pushed below the
+        projection and double-evaluate the kernel)."""
         c = self.config
         udf = production_minhash_udf(c.num_hashes, c.seed)
-        return (
-            shingled.where(F.size("shingles") > 0)
-            .select("doc_id", udf(F.col("shingles")).alias("sig"))
-            .where(F.col("sig").isNotNull())
+        return shingled.where(F.size("shingles") > 0).select(
+            "doc_id", udf(F.col("shingles")).alias("sig")
         )
 
     def signatures_from_text(
@@ -168,12 +169,17 @@ class DedupPipeline:
     ) -> DataFrame:
         """(doc_id, sig) straight from text — the fused production kernel
         (functions/fast_shingle.py): tokenize→shingle→MinHash in one
-        Arrow batch, no corpus-wide shingle column materialized."""
+        Arrow batch, no corpus-wide shingle column materialized.
+
+        Empty documents carry a NULL sig here; they emit zero bucket rows
+        at banding (band_buckets null guard). Filtering them HERE would
+        double-evaluate the kernel (Catalyst pushes the predicate below the
+        projection, substituting the UDF into it)."""
         c = self.config
         udf = make_text_minhash_udf(c.num_hashes, c.shingle_k, c.seed)
         return docs.select(
             F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("sig")
-        ).where(F.col("sig").isNotNull())
+        )
 
     def candidate_shingles(
         self,
@@ -287,7 +293,13 @@ class DedupPipeline:
             bucketed = stage("buckets", lambda: self.buckets(sigs))
             cand = stage("pairs", lambda: self.pairs(bucketed))
             ver = stage("verified", lambda: self.verified(cand, shingled))
-        vertices = sigs.select("doc_id") if include_singletons else None
+        # empty docs (null sig) are excluded from singleton vertices too —
+        # reference empty-set skip; rare path, the extra filter is fine here
+        vertices = (
+            sigs.where(F.col("sig").isNotNull()).select("doc_id")
+            if include_singletons
+            else None
+        )
         clustered = stage("clusters", lambda: self.clusters(ver, vertices))
         return {
             "shingles": shingled,

@@ -38,10 +38,21 @@ def result(spark, planted):
 
 def test_empty_docs_dropped(planted, result):
     cfg, pages, _ = planted
-    n_sigs = result["signatures"].count()
+    sigs = result["signatures"]
+    n_nonnull = sigs.where(F.col("sig").isNotNull()).count()
     n_nonempty = pages.where(F.regexp_replace("text", r"\s+", "") != "").count()
     # the 'w1 w2' short page still has one shingle → kept
-    assert n_sigs == n_nonempty
+    assert n_nonnull == n_nonempty
+    # empty docs carry NULL sigs and emit ZERO bucket rows (the empty-set
+    # skip now happens at banding, not via a kernel-doubling filter)
+    empty_ids = [
+        r["doc_id"] for r in sigs.where(F.col("sig").isNull()).collect()
+    ]
+    if empty_ids:
+        assert (
+            result["buckets"].where(F.col("doc_id").isin(empty_ids)).count()
+            == 0
+        )
 
 
 def test_recall_on_planted_pairs(planted, result):
