@@ -239,6 +239,34 @@ FROM bands GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """
 
 
+QUERY_MODE_N_QUERIES = 250
+QUERY_MODE_ALPHA = 2
+
+
+def q_query_mode_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-mode retrieval (the reference's AlphaLSH.query, J1+F2):
+    the first N docs act as queries against the whole corpus index;
+    neighbors must collide in ≥ alpha bands."""
+    from lsh_qd_spark.operators.query import query_neighbors
+
+    buckets = _bucket_df(spark, sf_dir)
+    qb = buckets.where(F.col("doc_id") < QUERY_MODE_N_QUERIES)
+    return query_neighbors(buckets, qb, alpha=QUERY_MODE_ALPHA).select(
+        "query_id", "doc_id", F.col("n_bands").cast("long").alias("n_bands")
+    )
+
+
+SQL_QUERY_MODE_NEIGHBORS = f"""
+WITH {duck_bands_cte(ORACLE_CFG)}
+SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bands
+FROM bands q
+JOIN bands c ON q.band_idx = c.band_idx AND q.band_key = c.band_key
+WHERE q.doc_id < {QUERY_MODE_N_QUERIES} AND c.doc_id <> q.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {QUERY_MODE_ALPHA}
+"""
+
+
 def q_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs + band-collision counts (AlphaLSH statistic)."""
     pipe = DedupPipeline(ORACLE_CFG)
@@ -250,6 +278,38 @@ SQL_CANDIDATE_PAIRS = f"""
 WITH {duck_bands_cte(ORACLE_CFG)},
 {DUCK_PAIRS_CTE}
 SELECT id_a, id_b, n_bands FROM pairs
+"""
+
+
+ALPHA_TIER_ALPHAS = (1, 2, 3, 4)
+
+
+def q_alpha_tier_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair counts per alpha cut — the AlphaRankedNeighbor
+    surface (C4, /root/reference/lsh-qd.py:408-439): ONE pair aggregation,
+    every tier is a HAVING cut over it."""
+    from lsh_qd_spark.operators.query import alpha_tiers
+
+    pipe = DedupPipeline(ORACLE_CFG)
+    cand = pipe.pairs(_bucket_df(spark, sf_dir))
+    tiers = alpha_tiers(cand, list(ALPHA_TIER_ALPHAS))
+    rows = [
+        df.select(F.lit(a).alias("alpha"), "id_a") for a, df in tiers.items()
+    ]
+    union = rows[0]
+    for r in rows[1:]:
+        union = union.unionByName(r)
+    return union.groupBy("alpha").agg(F.count("*").alias("n_pairs"))
+
+
+SQL_ALPHA_TIER_SIZES = f"""
+WITH {duck_bands_cte(ORACLE_CFG)},
+{DUCK_PAIRS_CTE}
+SELECT a.alpha, COUNT(*) AS n_pairs
+FROM pairs p
+JOIN (SELECT unnest({list(ALPHA_TIER_ALPHAS)}) AS alpha) a
+  ON p.n_bands >= a.alpha
+GROUP BY a.alpha
 """
 
 
@@ -662,6 +722,8 @@ SQL_QUERIES: dict[str, str] = {
     "doc_stats": SQL_DOC_STATS,
     "minhash_buckets": SQL_MINHASH_BUCKETS,
     "candidate_pairs": SQL_CANDIDATE_PAIRS,
+    "query_mode_neighbors": SQL_QUERY_MODE_NEIGHBORS,
+    "alpha_tier_sizes": SQL_ALPHA_TIER_SIZES,
     "verified_pairs": SQL_VERIFIED_PAIRS,
     "dup_clusters": SQL_DUP_CLUSTERS,
     "cluster_sizes": SQL_CLUSTER_SIZES,
@@ -681,6 +743,8 @@ SPARK_QUERIES = {
     "doc_stats": q_doc_stats,
     "minhash_buckets": q_minhash_buckets,
     "candidate_pairs": q_candidate_pairs,
+    "query_mode_neighbors": q_query_mode_neighbors,
+    "alpha_tier_sizes": q_alpha_tier_sizes,
     "verified_pairs": q_verified_pairs,
     "dup_clusters": q_dup_clusters,
     "cluster_sizes": q_cluster_sizes,
