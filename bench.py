@@ -200,7 +200,7 @@ def worker(cpus: int, out_path: str) -> None:
 
 def _run_worker(cpus: int) -> dict:
     """Fresh-JVM measurement at a given parallelism: warm-up outside the
-    timed window, min-of-SCALE_TRIALS. One discipline for headline and
+    timed window, median of SCALE_TRIALS. One discipline for headline and
     scaling runs (round 1's single cold in-session headline was 7x off the
     worker rate — VERDICT.md 'Performance' — so everything goes through
     here now)."""
@@ -304,6 +304,14 @@ def main() -> None:
         return
     skip_scaling = "--skip-scaling" in sys.argv
 
+    # stale worker outputs from a previous run must not leak into the
+    # BASELINE.md trials table (worse with --skip-scaling, which would
+    # otherwise report old scaling rows as freshly measured)
+    for cpus in {*SCALE_CPUS, CPUS}:
+        path = f"/tmp/lsh_qd_bench_scale_{cpus}.json"
+        if os.path.exists(path):
+            os.remove(path)
+
     t_start = time.time()
     spark = _session(CPUS)
     times = headline_queries(spark)
@@ -311,7 +319,7 @@ def main() -> None:
     spark.stop()
 
     # headline dedup throughput at local[CPUS]: same fresh-JVM + warm-up +
-    # min-of-N discipline as the scaling workers
+    # median-of-N discipline as the scaling workers
     head = _run_worker(CPUS)
     n_pages = head["n_pages"]
     times["dedup_bench_corpus"] = round(head["sec"], 3)

@@ -39,7 +39,16 @@ def extract_text(html: Column) -> Column:
     against the synth pages table).
     """
     s = F.decode(html, "UTF-8")
-    body = F.regexp_extract(s, r"(?is)<body[^>]*>(.*)</body>", 1)
+    # Truncated captures without a closing </body> (routine in crawl WARCs)
+    # must not drop the document: fall back to everything after <body>,
+    # then to the whole markup (minus <head>) when no <body> exists at all.
+    body = F.when(
+        s.rlike(r"(?is)<body[^>]*>.*</body>"),
+        F.regexp_extract(s, r"(?is)<body[^>]*>(.*)</body>", 1),
+    ).when(
+        s.rlike(r"(?is)<body[^>]*>"),
+        F.regexp_extract(s, r"(?is)<body[^>]*>(.*)$", 1),
+    ).otherwise(F.regexp_replace(s, r"(?is)<head[^>]*>.*?</head>", ""))
     body = F.regexp_replace(body, r"(?is)<(script|style)[^>]*>.*?</\1>", "")
     txt = F.regexp_replace(body, r"(?s)<[^>]+>", "")
     for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),

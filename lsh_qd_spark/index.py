@@ -98,8 +98,10 @@ class LSHIndex:
         ).withColumn("shard", self._shard())
         index = self.buckets(spark)
         if prune_shards:
-            # collect the query's shard set (≤ n_shards values) and prune
-            # the index scan to matching partitions
+            # persist BEFORE the shard-collect: the distinct().collect()
+            # and the join below would otherwise each run the signature
+            # kernel over the query docs (same pattern as streaming)
+            qb = qb.persist()
             shards = [r["shard"] for r in qb.select("shard").distinct().collect()]
             index = index.where(F.col("shard").isin(shards))
         return query_neighbors(

@@ -102,25 +102,30 @@ def candidate_pairs(
         big = sizes.where(F.col("bucket_n") > max_bucket_size).select(
             "band_idx", "band_key", "rep"
         )
-        # No silent truncation: count the oversized keys first. Within the
-        # broadcast budget they are collected + broadcast (two map-side
-        # joins, no extra wide stage); beyond it the same joins run as
-        # shuffle joins — slower but correct at ANY number of mega-buckets.
-        n_big = big.count()
+        # No silent truncation — and ONE job to decide, not count+collect
+        # (which would run the upstream aggregation twice; when `buckets`
+        # comes straight off the signature kernel that means re-running the
+        # kernel over the corpus). limit(cap+1) collects at most cap+1 keys:
+        # within the budget they are broadcast (two map-side joins, no extra
+        # wide stage); beyond it the same joins run as shuffle joins against
+        # a persisted `big` — slower but correct at ANY number of
+        # mega-buckets.
+        big_rows = big.limit(big_key_broadcast_cap + 1).collect()
+        n_big = len(big_rows)
         if n_big > 0:
             if n_big <= big_key_broadcast_cap:
                 big_df = F.broadcast(
-                    spark.createDataFrame(big.collect(), big.schema)
+                    spark.createDataFrame(big_rows, big.schema)
                 )
                 log.info(
                     "candidate_pairs: %d oversized-bucket keys (broadcast)", n_big
                 )
             else:
-                big_df = big
+                big_df = big.persist()  # consumed by two joins below
                 log.warning(
-                    "candidate_pairs: %d oversized-bucket keys exceed the "
-                    "broadcast cap (%d); using shuffle joins for the "
-                    "mega-bucket split", n_big, big_key_broadcast_cap,
+                    "candidate_pairs: more than %d oversized-bucket keys; "
+                    "using shuffle joins for the mega-bucket split",
+                    big_key_broadcast_cap,
                 )
             small_buckets = buckets.join(
                 big_df.select("band_idx", "band_key"),

@@ -709,7 +709,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_COUNTS = f"""
 SELECT doc_id,
-       CAST(len({DUCK_TOKS}) AS BIGINT) AS ws_tokens,
+       CAST(coalesce(len({DUCK_TOKS}), 0) AS BIGINT) AS ws_tokens,
        CAST(len(regexp_extract_all(coalesce(text, ''),
                                    '{BPE_TOKEN_RE.replace("'", "''")}', 0))
             AS BIGINT) AS bpe_tokens

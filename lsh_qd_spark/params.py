@@ -262,14 +262,14 @@ def greatest_valid_alpha(
     """Greatest alpha with P_alpha(s1) ≥ posi_rate and P_alpha(s2) ≤
     false_rate — get_alpha_minhash (lsh-qd.py:876-910) without its
     empty-grid IndexError (``valid_alphas[-1]`` on an empty argwhere):
-    returns None when no alpha qualifies."""
-    best = None
-    for alpha in range(1, l + 1):
-        p_t = float(collision_prob_alpha(s1, k, l, alpha))
-        p_f = float(collision_prob_alpha(s2, k, l, alpha))
-        if p_t >= posi_rate and p_f <= false_rate:
-            best = alpha
-    return best
+    returns None when no alpha qualifies. O(l) via the cumsum tail (the
+    per-alpha values are the Binomial(l, s^k) tails, same identity the
+    p-stable twin uses); the reference's per-alpha re-summation is O(l²)
+    and dominates the joint grid search at its l≤1000 bound."""
+    t1 = binom_tail_all_alphas(s1**k, l)
+    t2 = binom_tail_all_alphas(s2**k, l)
+    valid = np.flatnonzero((t1 >= posi_rate) & (t2 <= false_rate))
+    return int(valid[-1]) + 1 if valid.size else None
 
 
 def greatest_valid_alpha_pstable(

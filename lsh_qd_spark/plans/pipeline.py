@@ -51,9 +51,13 @@ class StageMetrics:
 class StageStore:
     """Manifest-guarded stage materialization for resume + lineage.
 
-    Stage tables go through lsh_qd_spark.io (Iceberg identifier or parquet
-    dir); manifests (config hash + per-partition lineage) stay JSON files
-    under ``root`` either way."""
+    Stage tables and manifests (config hash + per-partition lineage) both
+    live under a FILESYSTEM ``root`` — ``os.path.join(root, stage)`` always
+    contains a ``/``, so lsh_qd_spark.io routes the data through its path
+    branch. Catalog-identifier (Iceberg) stage tables would need a
+    manifest-location scheme of their own (table properties or a manifests
+    table); io.write_stage already supports identifiers, this store does
+    not pretend to."""
 
     def __init__(self, spark: SparkSession, root: str, config_hash: str):
         self.spark = spark

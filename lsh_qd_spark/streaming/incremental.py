@@ -152,4 +152,9 @@ class IncrementalDedup:
             f.startswith("epoch=") for f in os.listdir(self.hits_dir)
         ):
             return spark.createDataFrame([], HITS_SCHEMA)
-        return read_stage(spark, self.hits_dir)
+        # partition-column inference types epoch=N directories as int32;
+        # cast back to the declared HITS_SCHEMA type so the populated and
+        # empty paths return identical schemas
+        return read_stage(spark, self.hits_dir).withColumn(
+            "epoch", F.col("epoch").cast("long")
+        )

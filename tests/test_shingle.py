@@ -97,3 +97,22 @@ def test_extract_text_entities_and_script(spark):
         .first()["v"]
     )
     assert got == "a & b <c> \"d'"
+
+
+def test_extract_text_truncated_and_bodyless(spark):
+    """Crawl-reality fallbacks: no closing </body> (truncated capture) and
+    no <body> at all must not drop the document."""
+    from lsh_qd_spark.functions.text import extract_text
+
+    cases = [
+        (b"<html><body><p>hello truncated</p>", "hello truncated"),
+        (b"<html><head><title>T</title></head><p>no body tag</p></html>",
+         "no body tag"),
+    ]
+    for html, want in cases:
+        got = (
+            spark.createDataFrame([(html,)], "h binary")
+            .select(extract_text(F.col("h")).alias("v"))
+            .first()["v"]
+        )
+        assert got.strip() == want, (html, got)
