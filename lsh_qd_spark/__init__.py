@@ -2,8 +2,8 @@
 
 Re-expresses the capabilities of the reference research codebase
 (``smearle/lsh-qd``, surveyed in SURVEY.md) as an idiomatic Spark DataFrame
-pipeline: shingle → MinHash signatures → LSH banding → salted candidate-pair
-join → Jaccard verify → connected-components clustering, plus SimHash,
+pipeline: shingle → MinHash signatures → LSH banding → skew-aware
+candidate-pair join → Jaccard verify → connected-components clustering, plus SimHash,
 suffix-array exact-overlap verification, p-stable hashing for real vectors,
 approximate nearest-neighbor search, and text-analysis utilities for
 large-scale training-data pipelines.

@@ -41,7 +41,11 @@ class DedupConfig:
     # and DuckDB (oracle parity).
     shingle_hash: str = "fast"
     max_bucket_size: int = 2000  # buckets larger than this use star pairing
-    salt_partitions: int = 0  # >0 adds a salt column to pair-count groupBy
+    # Skew handling is structural, not salt-based: count aggregations
+    # already de-skew via map-side partial aggregation; within-bucket pair
+    # generation cannot be salted without losing cross-salt pairs, so
+    # oversized buckets are capped + star-paired instead (operators/pairs),
+    # and AQE skew-join covers the residual joins (session.py).
     min_exact_overlap: int = 50  # suffix-array exact-overlap threshold (chars)
 
     @property

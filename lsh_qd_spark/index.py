@@ -80,6 +80,59 @@ class LSHIndex:
             )
         return stage_exists(spark, self.index_ref)
 
+    def hash_bucketed(
+        self,
+        docs: DataFrame,
+        table_name: str,
+        n_buckets: int = 64,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> None:
+        """Materialize the index as a BUCKETED table: rows are hash-bucketed
+        (and sorted) by the banding keys at write time, so every downstream
+        groupBy/join on (band_idx, band_key) — bucket sizing, candidate-pair
+        generation, re-running with a different alpha or cap — reads the
+        table WITHOUT an Exchange. This is the 'pre-shuffle once, aggregate
+        many times' layout a 100 TB index wants (Iceberg: the same statement
+        via a bucket(N, band_key) partition transform)."""
+        spark = docs.sparkSession
+        # a stale managed-table location (e.g. metadata lost with a previous
+        # in-memory catalog) blocks the CREATE — drop both
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        loc = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+            table_name.lower(),
+        )
+        if os.path.isdir(loc):
+            import shutil
+
+            shutil.rmtree(loc)
+        buckets = self.pipe.buckets(
+            self.pipe.signatures_from_text(docs, text_col, id_col)
+        )
+        (
+            buckets.write.mode("overwrite")
+            .bucketBy(n_buckets, "band_idx", "band_key")
+            .sortBy("band_idx", "band_key")
+            .saveAsTable(table_name)
+        )
+
+    def pairs_from_table(
+        self, spark: SparkSession, table_name: str, **kwargs
+    ) -> DataFrame:
+        """Candidate pairs off a bucketed index table — the two groupBys in
+        candidate_pairs reuse the table's bucketing (no shuffle)."""
+        from lsh_qd_spark.operators.pairs import candidate_pairs
+
+        return candidate_pairs(
+            spark.table(table_name),
+            alpha=kwargs.pop("alpha", self.config.alpha),
+            max_bucket_size=kwargs.pop(
+                "max_bucket_size", self.config.max_bucket_size
+            ),
+            **kwargs,
+        )
+
     def query(
         self,
         query_docs: DataFrame,

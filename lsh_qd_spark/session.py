@@ -53,6 +53,14 @@ def get_spark(
             "spark.local.dir",
             os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark_local"),
         )
+        # managed tables (bucketed index, LSHIndex.hash_bucketed) must not
+        # land inside the repo checkout
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE_DIR", "/tmp/lsh_qd_spark_warehouse"
+            ),
+        )
     )
     if master:
         builder = builder.master(master)

@@ -81,3 +81,40 @@ def test_append_extends_index(spark, corpus, index):
     probe = extra.where(F.col("doc_id") == 1_000_010)
     got = index.query(probe, alpha=CFG.num_bands, exclude_self=False).collect()
     assert any(r["doc_id"] == 1_000_010 for r in got)
+
+
+def test_bucketed_table_elides_shuffle(spark, corpus, index):
+    """hash_bucketed writes the index hash-bucketed by the banding keys;
+    the bucket-size aggregation over it must plan WITHOUT an Exchange,
+    and candidate pairs must equal the unbucketed path's."""
+    import io as _io
+    import re
+    from contextlib import redirect_stdout
+
+    index.hash_bucketed(corpus, "lsh_idx_bucketed", n_buckets=8)
+    t = spark.table("lsh_idx_bucketed")
+    agg = t.groupBy("band_idx", "band_key").count()
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        agg.explain("formatted")
+    plan = buf.getvalue()
+    assert not re.search(r"(?<!Broadcast)Exchange \(\d+\)", plan), plan
+
+    from lsh_qd_spark.operators.pairs import candidate_pairs
+
+    via_table = {
+        (r["id_a"], r["id_b"], r["n_bands"])
+        for r in index.pairs_from_table(spark, "lsh_idx_bucketed").collect()
+    }
+    # fresh corpus buckets (index.buckets may have been extended by the
+    # append test — module-scoped fixture)
+    pipe_buckets = index.pipe.buckets(index.pipe.signatures_from_text(corpus))
+    direct = {
+        (r["id_a"], r["id_b"], r["n_bands"])
+        for r in candidate_pairs(
+            pipe_buckets,
+            alpha=CFG.alpha,
+            max_bucket_size=CFG.max_bucket_size,
+        ).collect()
+    }
+    assert via_table == direct and via_table
