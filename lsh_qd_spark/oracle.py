@@ -281,6 +281,48 @@ SELECT id_a, id_b, n_bands FROM pairs
 """
 
 
+RANKED_TIER_ALPHAS = (3, 2, 1)  # innermost ball first, as the planner emits
+
+
+def q_ranked_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked multi-radius retrieval (C3/C4 end-to-end): one banding, one
+    collision count, tier i = alpha cut ≥ RANKED_TIER_ALPHAS[i]."""
+    from lsh_qd_spark.operators.ranked import ranked_neighbors_alpha
+
+    buckets = _bucket_df(spark, sf_dir)
+    qb = buckets.where(F.col("doc_id") < QUERY_MODE_N_QUERIES)
+    return ranked_neighbors_alpha(
+        buckets, qb, list(RANKED_TIER_ALPHAS)
+    ).select(
+        "tier_idx",
+        "query_id",
+        "doc_id",
+        F.col("n_bands").cast("long").alias("n_bands"),
+    )
+
+
+def _sql_ranked_tiers() -> str:
+    tiers = ", ".join(
+        f"({i}, {a})" for i, a in enumerate(RANKED_TIER_ALPHAS)
+    )
+    return f"""
+WITH {duck_bands_cte(ORACLE_CFG)},
+counts AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bands
+  FROM bands q
+  JOIN bands c ON q.band_idx = c.band_idx AND q.band_key = c.band_key
+  WHERE q.doc_id < {QUERY_MODE_N_QUERIES} AND c.doc_id <> q.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min(RANKED_TIER_ALPHAS)}
+)
+SELECT t.tier_idx, c.query_id, c.doc_id, c.n_bands
+FROM counts c
+JOIN (VALUES {tiers}) t(tier_idx, alpha) ON c.n_bands >= t.alpha
+"""
+
+
+SQL_RANKED_TIERS = _sql_ranked_tiers()
+
 ALPHA_TIER_ALPHAS = (1, 2, 3, 4)
 
 
@@ -724,6 +766,7 @@ SQL_QUERIES: dict[str, str] = {
     "candidate_pairs": SQL_CANDIDATE_PAIRS,
     "query_mode_neighbors": SQL_QUERY_MODE_NEIGHBORS,
     "alpha_tier_sizes": SQL_ALPHA_TIER_SIZES,
+    "ranked_tiers": SQL_RANKED_TIERS,
     "verified_pairs": SQL_VERIFIED_PAIRS,
     "dup_clusters": SQL_DUP_CLUSTERS,
     "cluster_sizes": SQL_CLUSTER_SIZES,
@@ -745,6 +788,7 @@ SPARK_QUERIES = {
     "candidate_pairs": q_candidate_pairs,
     "query_mode_neighbors": q_query_mode_neighbors,
     "alpha_tier_sizes": q_alpha_tier_sizes,
+    "ranked_tiers": q_ranked_tiers,
     "verified_pairs": q_verified_pairs,
     "dup_clusters": q_dup_clusters,
     "cluster_sizes": q_cluster_sizes,
