@@ -281,6 +281,82 @@ SELECT id_a, id_b, n_bands FROM pairs
 """
 
 
+NGRAM_BLOCK_MAX_DF = 100
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index (n-gram blocking) near-dup join — the MinHash-free
+    dedup flavor: docs sharing ANY k-gram are candidates (complete recall
+    for J > 0 pairs, modulo the hot-gram cap), then exact Jaccard ≥
+    threshold. Candidate volume is bounded by suppressing grams with
+    document frequency > NGRAM_BLOCK_MAX_DF (stopword-gram suppression,
+    the classic blocking trick — at crawl scale boilerplate grams would
+    otherwise explode the self-join)."""
+    from lsh_qd_spark.operators.verify import jaccard_expr
+
+    pipe = DedupPipeline(ORACLE_CFG)
+    sh = pipe.shingle(_docs(spark, sf_dir)).where(F.size("shingles") > 0)
+    ex = sh.select("doc_id", F.explode("shingles").alias("g"))
+    ok_grams = (
+        ex.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= NGRAM_BLOCK_MAX_DF))
+        .select("g")
+    )
+    exf = ex.join(ok_grams, "g")
+    cand = (
+        exf.alias("a")
+        .join(exf.alias("b"), "g")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .dropDuplicates()
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard_expr(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= ORACLE_CFG.jaccard_threshold)
+    )
+
+
+def _sql_ngram_jaccard_pairs() -> str:
+    jac = (
+        "1.0 * len(list_intersect(sa.shingles, sb.shingles)) "
+        "/ len(list_distinct(list_concat(sa.shingles, sb.shingles)))"
+    )
+    return f"""
+WITH {duck_shingles_cte(ORACLE_CFG.shingle_k)},
+ex AS (
+  SELECT doc_id, unnest(shingles) AS g FROM sh WHERE len(shingles) > 0
+),
+ok AS (
+  SELECT g FROM ex GROUP BY g
+  HAVING COUNT(*) BETWEEN 2 AND {NGRAM_BLOCK_MAX_DF}
+),
+exf AS (SELECT ex.doc_id, ex.g FROM ex JOIN ok USING (g)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM exf a JOIN exf b ON a.g = b.g AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b, {jac} AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.id_a
+JOIN sh sb ON sb.doc_id = c.id_b
+WHERE {jac} >= {ORACLE_CFG.jaccard_threshold}
+"""
+
+
+SQL_NGRAM_JACCARD_PAIRS = _sql_ngram_jaccard_pairs()
+
+
 RANKED_TIER_ALPHAS = (3, 2, 1)  # innermost ball first, as the planner emits
 
 
@@ -767,6 +843,7 @@ SQL_QUERIES: dict[str, str] = {
     "query_mode_neighbors": SQL_QUERY_MODE_NEIGHBORS,
     "alpha_tier_sizes": SQL_ALPHA_TIER_SIZES,
     "ranked_tiers": SQL_RANKED_TIERS,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "verified_pairs": SQL_VERIFIED_PAIRS,
     "dup_clusters": SQL_DUP_CLUSTERS,
     "cluster_sizes": SQL_CLUSTER_SIZES,
@@ -789,6 +866,7 @@ SPARK_QUERIES = {
     "query_mode_neighbors": q_query_mode_neighbors,
     "alpha_tier_sizes": q_alpha_tier_sizes,
     "ranked_tiers": q_ranked_tiers,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "verified_pairs": q_verified_pairs,
     "dup_clusters": q_dup_clusters,
     "cluster_sizes": q_cluster_sizes,
