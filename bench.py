@@ -76,7 +76,14 @@ def _ensure_corpus(spark, n_docs: int) -> str:
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         cfg = SynthConfig(n_docs=n_docs, seed=42)
-        generate_pages(spark, cfg).write.mode("overwrite").parquet(path)
+        # fixed 64-file layout regardless of the GENERATING session's
+        # parallelism: a corpus written by a local[4] worker would otherwise
+        # have 4 fat files (2 row groups each) and cap every higher-
+        # parallelism reader at ~8-way scans — which silently flattened the
+        # measured 4→16 scaling to ~0.3 until diagnosed
+        generate_pages(spark, cfg).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(path)
     return path
 
 
@@ -167,6 +174,14 @@ SCALE_CPUS = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_CPUS", "4,16").split(",")
 )
 SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+# Scaling rounds use the SAME corpus size as the headline. A smaller
+# corpus was tried (shorter rounds → more chances to catch a quiet host
+# window) and rejected: the job carries ~15 s of parallelism-independent
+# stage latency (shuffle setup, CC rounds), which is ~25% of a 4-thread
+# run but >50% of a 16-thread run at 1M pages — an Amdahl floor that caps
+# the measured ratio near 0.45 no matter how quiet the host is. At 3M
+# pages the fixed fraction is small and the ratio reflects the engine.
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", str(BENCH_DOCS)))
 
 
 def _median(xs: list[float]) -> float:
@@ -175,9 +190,14 @@ def _median(xs: list[float]) -> float:
     return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
 
 
-def worker(cpus: int, out_path: str, n_trials: int | None = None) -> None:
+def worker(
+    cpus: int,
+    out_path: str,
+    n_trials: int | None = None,
+    n_docs: int | None = None,
+) -> None:
     spark = _session(cpus)
-    path = _ensure_corpus(spark, BENCH_DOCS)
+    path = _ensure_corpus(spark, n_docs or BENCH_DOCS)
     # warm JVM + python UDF workers outside the timed window
     from lsh_qd_spark.config import DedupConfig
     from lsh_qd_spark.plans.pipeline import DedupPipeline
@@ -206,7 +226,9 @@ def worker(cpus: int, out_path: str, n_trials: int | None = None) -> None:
     spark.stop()
 
 
-def _run_worker(cpus: int, n_trials: int | None = None) -> dict:
+def _run_worker(
+    cpus: int, n_trials: int | None = None, n_docs: int | None = None
+) -> dict:
     """Fresh-JVM measurement at a given parallelism: warm-up outside the
     timed window, median of SCALE_TRIALS (or one trial for the interleaved
     scaling protocol). One discipline for headline and scaling runs
@@ -216,6 +238,8 @@ def _run_worker(cpus: int, n_trials: int | None = None) -> dict:
     cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(cpus), out_path]
     if n_trials:
         cmd.append(str(n_trials))
+        if n_docs:
+            cmd.append(str(n_docs))
     proc = subprocess.run(cmd, capture_output=True, timeout=1800, cwd=REPO)
     if proc.returncode != 0:
         sys.stderr.write(proc.stderr.decode()[-2000:])
@@ -224,7 +248,7 @@ def _run_worker(cpus: int, n_trials: int | None = None) -> dict:
         return json.load(f)
 
 
-MAX_EXTRA_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_EXTRA_ROUNDS", "3"))
+MAX_EXTRA_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_EXTRA_ROUNDS", "2"))
 EFF_RETRY_BELOW = 0.6
 
 
@@ -253,7 +277,7 @@ def run_scaling() -> dict:
         nonlocal n_pages
         secs = {}
         for cpus in SCALE_CPUS:
-            r = _run_worker(cpus, n_trials=1)
+            r = _run_worker(cpus, n_trials=1, n_docs=SCALE_DOCS)
             trials[cpus].append(r["sec"])
             secs[cpus] = r["sec"]
             n_pages = r["n_pages"]
@@ -361,7 +385,8 @@ def write_bench_md(payload: dict) -> None:
 def main() -> None:
     if len(sys.argv) >= 4 and sys.argv[1] == "--worker":
         n_trials = int(sys.argv[4]) if len(sys.argv) >= 5 else None
-        worker(int(sys.argv[2]), sys.argv[3], n_trials)
+        n_docs = int(sys.argv[5]) if len(sys.argv) >= 6 else None
+        worker(int(sys.argv[2]), sys.argv[3], n_trials, n_docs)
         return
     skip_scaling = "--skip-scaling" in sys.argv
 
