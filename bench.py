@@ -190,6 +190,71 @@ def _median(xs: list[float]) -> float:
     return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
 
 
+# --- host-weather probe -----------------------------------------------------
+# The sandbox VM shares a physical host. Hypervisor contention shows up as
+# steal time concentrated on high-parallelism windows (measured: ~20% of
+# demanded CPU stolen and ~7 of 16 requested cores effective during a bad
+# window, while a 4-thread job is barely touched) — which biases the
+# measured N→4N ratio strictly DOWNWARD and can make local[16] run slower
+# in wall-clock than local[4]. The probe quantifies the weather so each
+# scaling round records the instrument's state alongside the measurement.
+PROBE_THREADS = int(os.environ.get("SPARK_GRAFT_PROBE_THREADS", "16"))
+# wait for a usable window: ≥ PROBE_MIN_CORES effective before starting a
+# ~10-min round, re-probing every PROBE_WAIT_SEC up to PROBE_MAX_WAITS times
+# (then run anyway — all rounds + probes are reported either way)
+PROBE_MIN_CORES = float(os.environ.get("SPARK_GRAFT_PROBE_MIN_CORES", "12"))
+PROBE_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_PROBE_WAIT_SEC", "60"))
+PROBE_MAX_WAITS = int(os.environ.get("SPARK_GRAFT_PROBE_MAX_WAITS", "10"))
+
+
+def weather_probe(n_threads: int = PROBE_THREADS) -> dict:
+    """Effective-parallel-capacity gauge: a fixed numpy work unit
+    (L2-resident arrays, GIL released inside numpy) timed once
+    single-threaded and then as ``n_threads`` concurrent copies.
+    ``effective_cores = n_threads * serial / parallel`` — on an idle
+    dedicated host this approaches ``n_threads``; under hypervisor
+    contention it reports the cores the host actually grants."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    x = np.random.default_rng(0).random(400_000)
+
+    def unit() -> float:
+        acc = x
+        for _ in range(120):
+            acc = np.sqrt(x) * 1.0001 + acc * 0.5
+        return float(acc[0])
+
+    unit()  # warm (allocator, cpu governor)
+    t0 = time.time()
+    unit()
+    serial = time.time() - t0
+    t0 = time.time()
+    with ThreadPoolExecutor(n_threads) as ex:
+        list(ex.map(lambda _: unit(), range(n_threads)))
+    par = time.time() - t0
+    return {
+        "serial_s": round(serial, 3),
+        "parallel_s": round(par, 3),
+        "effective_cores": round(n_threads * serial / par, 1),
+    }
+
+
+def wait_for_weather() -> dict:
+    """Probe until the host grants ≥ PROBE_MIN_CORES effective cores (or
+    the wait budget runs out). Returns the last probe + how long we waited."""
+    waited = 0
+    for i in range(PROBE_MAX_WAITS + 1):
+        p = weather_probe()
+        if p["effective_cores"] >= PROBE_MIN_CORES or i == PROBE_MAX_WAITS:
+            p["waited_s"] = waited
+            return p
+        time.sleep(PROBE_WAIT_SEC)
+        waited += PROBE_WAIT_SEC
+    return p  # unreachable
+
+
 def worker(
     cpus: int,
     out_path: str,
@@ -271,10 +336,15 @@ def run_scaling() -> dict:
     n, n4 = SCALE_CPUS
     trials: dict[int, list[float]] = {c: [] for c in SCALE_CPUS}
     ratios: list[float] = []
+    probes: list[dict] = []
     n_pages = BENCH_DOCS
 
     def one_round() -> None:
         nonlocal n_pages
+        # record the host weather this round ran under (and wait, bounded,
+        # for a usable window — a round takes ~10 min; measuring through a
+        # saturated host measures the neighbors, not the engine)
+        probes.append(wait_for_weather())
         secs = {}
         for cpus in SCALE_CPUS:
             r = _run_worker(cpus, n_trials=1, n_docs=SCALE_DOCS)
@@ -313,6 +383,7 @@ def run_scaling() -> dict:
         "4n_pages_per_sec": round(rate_4n, 1),
         "scaling_efficiency_n_to_4n": round(_median(ratios), 3),
         "round_ratios": [round(r, 3) for r in ratios],
+        "round_probes": probes,
     }
 
 
@@ -349,6 +420,12 @@ def write_bench_md(payload: dict) -> None:
         " (target ≥ 0.8 per BASELINE.json; sandbox proxy for N vs 4N executors"
         " per the driver instruction). Median of per-round paired ratios: "
         f"`{s.get('round_ratios')}`.",
+        "",
+        "Host weather at each round's start (effective cores granted of "
+        f"{PROBE_THREADS} requested, measured by a fixed numpy probe — "
+        "hypervisor steal hits high-parallelism windows hardest, biasing "
+        "the ratio strictly downward): "
+        f"`{[p.get('effective_cores') for p in (s.get('round_probes') or [])]}`.",
         "",
         f"Headline per-query seconds at {payload.get('sf')}: "
         f"`{json.dumps(payload.get('queries', {}))}`",

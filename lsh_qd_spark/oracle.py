@@ -510,6 +510,67 @@ SELECT n_docs, COUNT(*) AS n_clusters FROM (
 """
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated-corpus deliverable: one surviving doc per duplicate
+    cluster (keep-rule: longest text, tie → smallest doc_id), singletons
+    kept as-is. ``n_in_cluster`` records how many docs the survivor stands
+    for. This is the collapse step a training-data pipeline runs after
+    clustering — the reference stops at neighbor sets
+    (/root/reference/lsh-qd.py:1123-1137); survivor selection is the
+    engine's corpus-production extension.
+
+    Scale shape: a single groupBy on the effective cluster id with
+    ``max_by`` (map-side partial agg, no window sort) — clusters are tiny,
+    singletons hash-spread, so no skew."""
+    clusters = q_dup_clusters(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    eff = docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("cluster_id", "doc_id").alias("cid"),
+    )
+    return (
+        eff.groupBy("cid")
+        .agg(
+            F.max_by(
+                "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")))
+            ).alias("doc_id"),
+            F.count("*").alias("n_in_cluster"),
+        )
+        .select("doc_id", "n_in_cluster")
+    )
+
+
+SQL_DEDUP_SURVIVORS = f"""
+WITH RECURSIVE {duck_bands_cte(ORACLE_CFG)},
+{DUCK_PAIRS_CTE},
+{duck_verified_cte(ORACLE_CFG.jaccard_threshold)},
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION SELECT id_b, id_a FROM verified
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+clusters AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src
+),
+eff AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(c.cluster_id, d.doc_id) AS cid
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, n_in_cluster FROM (
+  SELECT doc_id,
+         COUNT(*) OVER (PARTITION BY cid) AS n_in_cluster,
+         ROW_NUMBER() OVER (PARTITION BY cid
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM eff
+) WHERE rk = 1
+"""
+
+
 def q_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity histogram of verified pairs — the pairwise-distance
     histogram diagnostic (A8, /root/reference/lsh-qd.py:718-734) as a table.
@@ -847,6 +908,7 @@ SQL_QUERIES: dict[str, str] = {
     "verified_pairs": SQL_VERIFIED_PAIRS,
     "dup_clusters": SQL_DUP_CLUSTERS,
     "cluster_sizes": SQL_CLUSTER_SIZES,
+    "dedup_survivors": SQL_DEDUP_SURVIVORS,
     "jaccard_histogram": SQL_JACCARD_HISTOGRAM,
     "cluster_stats": SQL_CLUSTER_STATS,
     "token_totals": SQL_TOKEN_TOTALS,
@@ -870,6 +932,7 @@ SPARK_QUERIES = {
     "verified_pairs": q_verified_pairs,
     "dup_clusters": q_dup_clusters,
     "cluster_sizes": q_cluster_sizes,
+    "dedup_survivors": q_dedup_survivors,
     "jaccard_histogram": q_jaccard_histogram,
     "cluster_stats": q_cluster_stats,
     "token_totals": q_token_totals,
