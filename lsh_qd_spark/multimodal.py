@@ -1,13 +1,19 @@
 """Multimodal (image/audio/video) column plumbing for training-data pipelines.
 
 Media ride as opaque ``binary`` columns with typed metadata; decode /
-feature-extraction are Arrow-batched ``mapInPandas`` kernels. The actual
-codecs are NOT available in this environment (no PIL/ffmpeg), so the decode
-step is STUBBED: ``decode_fn=None`` raises ``NotImplementedError`` eagerly,
-and tests exercise the real Spark plumbing (schema, batching, partitioning)
-with a deterministic fake decoder. The dedup path downstream of decode is
-fully real: embeddings → SimHash/p-stable buckets → candidate pairs →
-cosine verify (operators/ann.py), identical to the text path's shape.
+feature-extraction are Arrow-batched ``mapInPandas`` kernels.
+
+Decode is REAL for codec-free formats: PPM (P6) images and PCM WAV audio
+decode with pure NumPy/stdlib (``decode_ppm`` / ``decode_wav``), and
+feature extraction is real too — 8×8 block-mean luminance (the classic
+aHash-style perceptual embedding) for images, per-window RMS energy +
+zero-crossing rate for audio. Formats that need external codecs
+(JPEG/PNG/ffmpeg) are STUBBED behind the same interface:
+``decode_fn=None`` raises ``NotImplementedError`` eagerly; production
+passes ``PIL.Image.open`` / ``soundfile.read`` there. The dedup path
+downstream of decode is fully real either way: features →
+hyperplane-LSH buckets → candidate pairs → cosine verify
+(operators/ann.py), identical to the text path's shape.
 """
 
 from __future__ import annotations
@@ -28,11 +34,155 @@ FEATURE_SCHEMA = "media_id long, feature array<float>, feat_dim int"
 
 
 def require_decoder(kind: str) -> Callable[[bytes], np.ndarray]:
-    """Real decoders need PIL/torchcodec/ffmpeg — absent here by design."""
+    """Codec-dependent formats (JPEG/PNG/mp3/video) need PIL/ffmpeg —
+    absent in this environment by design. PPM/WAV decode IS available:
+    ``ppm_feature_decoder`` / ``wav_feature_decoder``."""
     raise NotImplementedError(
         f"no {kind} codec in this environment; pass decode_fn= explicitly "
-        "(production: PIL.Image.open / soundfile.read / frame sampler)"
+        "(production: PIL.Image.open / soundfile.read / frame sampler; "
+        "codec-free: ppm_feature_decoder() / wav_feature_decoder())"
     )
+
+
+# ---------------------------------------------------------------------------
+# Real, codec-free decoders (pure NumPy/stdlib)
+# ---------------------------------------------------------------------------
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (H, W, 3) uint8 array. Full header grammar:
+    whitespace-separated tokens with ``#`` comments, maxval ≤ 255."""
+    if not payload or not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # tokenize the header byte-by-byte (comments run to end of line)
+    tokens: list[bytes] = []
+    i = 2
+    cur = b""
+    while len(tokens) < 3 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            if cur:
+                tokens.append(cur)
+                cur = b""
+        else:
+            cur += c
+        i += 1
+    if len(tokens) < 3:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    raster = payload[i : i + w * h * 3]
+    if len(raster) < w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img, dtype=np.uint8
+    ).tobytes()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → (mono float32 in [-1, 1], sample_rate). stdlib ``wave``
+    handles the RIFF framing; NumPy converts/downmixes."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as f:
+        rate = f.getframerate()
+        n_ch = f.getnchannels()
+        width = f.getsampwidth()
+        raw = f.readframes(f.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
+def encode_wav(x: np.ndarray, rate: int) -> bytes:
+    import io
+    import wave
+
+    pcm = np.clip(np.asarray(x, dtype=np.float64), -1.0, 1.0)
+    pcm16 = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(pcm16.tobytes())
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Real feature extraction (vectorized NumPy, no codec deps)
+# ---------------------------------------------------------------------------
+
+
+def image_feature(img: np.ndarray, grid: int = 8) -> np.ndarray:
+    """8×8 block-mean luminance, mean-centered and L2-normalized — the
+    perceptual aHash embedding. Arbitrary (H, W) bins to the grid with a
+    single bincount (no per-block Python loop)."""
+    h, w = img.shape[:2]
+    gray = img.astype(np.float32).mean(axis=2)
+    rb = np.arange(h, dtype=np.int64) * grid // h
+    cb = np.arange(w, dtype=np.int64) * grid // w
+    bins = (rb[:, None] * grid + cb[None, :]).ravel()
+    sums = np.bincount(bins, weights=gray.ravel(), minlength=grid * grid)
+    counts = np.bincount(bins, minlength=grid * grid)
+    means = (sums / np.maximum(counts, 1)).astype(np.float32)
+    v = means - means.mean()
+    n = float(np.linalg.norm(v))
+    return v / n if n > 0 else means / max(float(np.linalg.norm(means)), 1e-9)
+
+
+def audio_feature(x: np.ndarray, n_windows: int = 32) -> np.ndarray:
+    """Per-window RMS energy + zero-crossing rate (2·n_windows dims),
+    L2-normalized. Window sums via ``reduceat`` — no Python loop."""
+    n = len(x)
+    if n == 0:
+        return np.zeros(2 * n_windows, dtype=np.float32)
+    bounds = (np.arange(n_windows, dtype=np.int64) * n) // n_windows
+    sq = np.add.reduceat(x.astype(np.float64) ** 2, bounds)
+    sb = np.signbit(x).astype(np.int8)
+    crossings = np.concatenate([[0.0], np.abs(np.diff(sb)).astype(np.float64)])
+    zc = np.add.reduceat(crossings, bounds)
+    widths = np.diff(np.append(bounds, n))
+    feat = np.concatenate(
+        [np.sqrt(sq / np.maximum(widths, 1)), zc / np.maximum(widths, 1)]
+    ).astype(np.float32)
+    norm = float(np.linalg.norm(feat))
+    return feat / norm if norm > 0 else feat
+
+
+def ppm_feature_decoder(grid: int = 8) -> Callable[[bytes], np.ndarray]:
+    """payload → 64-dim perceptual feature (decode_ppm + image_feature)."""
+
+    def decode(payload: bytes) -> np.ndarray:
+        return image_feature(decode_ppm(payload), grid)
+
+    return decode
+
+
+def wav_feature_decoder(n_windows: int = 32) -> Callable[[bytes], np.ndarray]:
+    """payload → 64-dim energy/ZCR feature (decode_wav + audio_feature)."""
+
+    def decode(payload: bytes) -> np.ndarray:
+        x, _rate = decode_wav(payload)
+        return audio_feature(x, n_windows)
+
+    return decode
 
 
 def deterministic_fake_decoder(dim: int = 64) -> Callable[[bytes], np.ndarray]:
