@@ -151,10 +151,16 @@ class LSHIndex:
         ).withColumn("shard", self._shard())
         index = self.buckets(spark)
         if prune_shards:
-            # persist BEFORE the shard-collect: the distinct().collect()
+            # Materialize BEFORE the shard-collect: the distinct().collect()
             # and the join below would otherwise each run the signature
-            # kernel over the query docs (same pattern as streaming)
-            qb = qb.persist()
+            # kernel over the query docs (same pattern as streaming).
+            # localCheckpoint (eager) rather than persist(): in the intended
+            # build-once/query-many usage a persist here would leak one
+            # cached query-bucket DataFrame per query() call for the life of
+            # the session; checkpoint blocks are reference-tracked and freed
+            # when the returned plan is dropped. The query side is small by
+            # contract (a query set, not the corpus), so eager is cheap.
+            qb = qb.localCheckpoint(eager=True)
             shards = [r["shard"] for r in qb.select("shard").distinct().collect()]
             index = index.where(F.col("shard").isin(shards))
         return query_neighbors(

@@ -121,7 +121,14 @@ def candidate_pairs(
                     "candidate_pairs: %d oversized-bucket keys (broadcast)", n_big
                 )
             else:
-                big_df = big.persist()  # consumed by two joins below
+                # Eager localCheckpoint, not persist(): both downstream
+                # joins consume it lazily, so a plain persist could never
+                # be unpersisted from here and would sit in executor
+                # storage for the life of the session. Checkpoint blocks
+                # are reference-tracked — freed when the returned plan is
+                # dropped — and the truncated lineage still guarantees the
+                # upstream kernel runs only once.
+                big_df = big.localCheckpoint(eager=True)
                 log.warning(
                     "candidate_pairs: more than %d oversized-bucket keys; "
                     "using shuffle joins for the mega-bucket split",

@@ -1,0 +1,140 @@
+"""One entry point over the two streaming dedup modes.
+
+``IncrementalDedup`` (foreachBatch + persisted parquet bucket index) and
+``StatefulDedup`` (``applyInPandasWithState`` bucket state in the managed
+state store) implement the same logical operation — continuous LSH
+candidate generation over a pages stream — with different state backends.
+This facade gives them one construction point and one OUTPUT surface, so
+downstream code (alpha count → Jaccard verify → connected components) is
+written once and is mode-agnostic:
+
+    sd = stream_dedup(config, work_dir, mode="stateful")
+    sd.start(spark, source_dir).awaitTermination()
+    sd.clusters(spark, docs)          # full batch tail over the sink
+
+Choosing a mode (the 100 TB view):
+- ``incremental``: index is a plain table (parquet/Iceberg) — queryable,
+  compactable, shareable with the batch ``LSHIndex``; per-batch cost grows
+  with the number of matching index shards read. Best when batches are
+  large and the index should double as a batch asset.
+- ``stateful``: state lives in Spark's state store (RocksDB in prod) —
+  no external table, per-key incremental updates, exactly-once state.
+  Best for low-latency small batches and pure streaming deployments.
+
+Both emit per-band collision evidence; ``pairs()`` normalizes it to the
+batch ``candidate_pairs`` shape ``(id_a, id_b, n_bands, via_star)`` with
+canonical ``id_a < id_b``, so the verify/cluster tail is literally the
+batch operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lsh_qd_spark.config import DedupConfig
+from lsh_qd_spark.operators.cluster import connected_components
+from lsh_qd_spark.operators.verify import verify_pairs_text
+from lsh_qd_spark.streaming.incremental import IncrementalDedup
+from lsh_qd_spark.streaming.stateful import StatefulDedup
+
+MODES = ("incremental", "stateful")
+
+
+class StreamDedup:
+    """Mode-agnostic streaming dedup: start a stream, then read candidate
+    pairs / verified pairs / duplicate clusters off the sink."""
+
+    def __init__(
+        self,
+        config: DedupConfig,
+        work_dir: str,
+        mode: str = "incremental",
+        n_shards: int = 64,
+    ):
+        if mode not in MODES:
+            raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+        self.config = config
+        self.mode = mode
+        self._impl = (
+            IncrementalDedup(config, work_dir, n_shards=n_shards)
+            if mode == "incremental"
+            else StatefulDedup(config, work_dir)
+        )
+
+    def start(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        max_files_per_trigger: int = 4,
+    ):
+        if self.mode == "incremental":
+            return self._impl.start(
+                spark, source_dir, maxFilesPerTrigger=max_files_per_trigger
+            )
+        return self._impl.start(
+            spark, source_dir, max_files_per_trigger=max_files_per_trigger
+        )
+
+    # --- batch tail over the sink -------------------------------------
+
+    def pairs(self, spark: SparkSession) -> DataFrame:
+        """(id_a, id_b, n_bands, via_star), canonical ``id_a < id_b`` —
+        the batch ``candidate_pairs`` shape, whichever mode produced it."""
+        if self.mode == "stateful":
+            return self._impl.pairs(spark)
+        hits = self._impl.hits(spark)
+        # hits are already alpha-filtered per epoch and canonicalized
+        # (existing < new for intra-batch; any orientation vs the index);
+        # a re-crawled doc_id can surface the same pair in a later epoch,
+        # so aggregate with max(n_bands) rather than trusting uniqueness.
+        return (
+            hits.select(
+                F.least("new_doc", "existing_doc").alias("id_a"),
+                F.greatest("new_doc", "existing_doc").alias("id_b"),
+                "n_bands",
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.max("n_bands").alias("n_bands"))
+            .withColumn("via_star", F.lit(False))
+        )
+
+    def verified_pairs(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Candidate pairs Jaccard-verified against document text — the
+        same fused kernel as the batch pipeline's verify stage."""
+        return verify_pairs_text(
+            self.pairs(spark),
+            docs,
+            self.config.jaccard_threshold,
+            self.config.shingle_k,
+            id_col=id_col,
+            text_col=text_col,
+        )
+
+    def clusters(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """(doc_id, cluster_id) duplicate clusters over the verified graph."""
+        return connected_components(
+            self.verified_pairs(spark, docs, text_col, id_col)
+        )
+
+
+def stream_dedup(
+    config: DedupConfig,
+    work_dir: str,
+    mode: str = "incremental",
+    n_shards: int = 64,
+) -> StreamDedup:
+    """Factory for :class:`StreamDedup` — the one-call streaming entry."""
+    return StreamDedup(config, work_dir, mode=mode, n_shards=n_shards)

@@ -96,6 +96,13 @@ class IncrementalDedup:
             F.lit(False).alias("from_index"),
         )
         if self._index_exists():
+            # BOUNDED driver collect: `shard` is pmod(hash, n_shards), so
+            # this distinct() returns AT MOST n_shards rows regardless of
+            # corpus or batch size — same loud-bound contract as the
+            # big-key collect in operators/pairs.py. n_shards is a
+            # constructor knob; even a 4096-shard production index is a
+            # few-KB collect. (Covered for n_shards > 64 in
+            # tests/test_streaming.py.)
             batch_shards = [
                 r["shard"] for r in buckets.select("shard").distinct().collect()
             ]

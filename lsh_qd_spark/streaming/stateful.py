@@ -148,8 +148,15 @@ class StatefulDedup:
         """Batch view over the collision sink: alpha-filtered candidate
         pairs (the cross-bucket half of candidate_pairs semantics)."""
         col = spark.read.schema(COLLISION_SCHEMA).parquet(self.collisions_dir)
+        # A pair legitimately appears at most once per band; under the
+        # at-least-once sink contract (state commit lost → micro-batch
+        # replayed) a duplicate sink row would otherwise inflate n_bands
+        # and push sub-alpha pairs over the threshold. Per-band dedup
+        # makes the read side exactly-once, and it is cheap: it rides the
+        # same (id_a, id_b) shuffle the count needs anyway.
         counted = (
             col.where(~F.col("via_star"))
+            .dropDuplicates(["id_a", "id_b", "band_idx"])
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("n_bands"))
             .where(F.col("n_bands") >= self.config.alpha)

@@ -1,0 +1,115 @@
+"""stream_dedup facade: mode parity on the same planted stream, and the
+full batch tail (alpha count → Jaccard verify → connected components)
+over a streaming collision sink (VERDICT.md round 2, Next round #5)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_qd_spark.config import DedupConfig
+from lsh_qd_spark.operators.pairs import candidate_pairs
+from lsh_qd_spark.plans.pipeline import DedupPipeline
+from lsh_qd_spark.streaming import stream_dedup
+from lsh_qd_spark.synth import SynthConfig, generate_pages, truth_pairs
+
+CFG = DedupConfig(rows_per_band=2, num_bands=16, alpha=2, max_bucket_size=500)
+
+
+def _write_stream_files(spark, cfg, src):
+    """Planted corpus split so every dup cluster spans both files —
+    cross-batch pairs exercise each mode's state carry."""
+    pages = generate_pages(spark, cfg).cache()
+    dstart = cfg.dup_start
+    first = pages.where(
+        (F.col("doc_id") < dstart) | ((F.col("doc_id") - dstart) % 3 != 2)
+    )
+    second = pages.where(
+        (F.col("doc_id") >= dstart) & ((F.col("doc_id") - dstart) % 3 == 2)
+    )
+    os.makedirs(src, exist_ok=True)
+    first.coalesce(1).write.parquet(src + "/f1")
+    second.coalesce(1).write.parquet(src + "/f2")
+    return pages
+
+
+def test_mode_parity_on_same_stream(spark, tmp_path):
+    """Both modes, same planted stream, same config → identical non-star
+    candidate-pair sets (and both equal the batch dataflow)."""
+    cfg = SynthConfig(n_docs=200, seed=37)
+    src = str(tmp_path / "src")
+    pages = _write_stream_files(spark, cfg, src)
+
+    results = {}
+    for mode in ("incremental", "stateful"):
+        sd = stream_dedup(CFG, str(tmp_path / mode), mode=mode)
+        sd.start(spark, src + "/*", max_files_per_trigger=1).awaitTermination(
+            240
+        )
+        results[mode] = {
+            (r["id_a"], r["id_b"])
+            for r in sd.pairs(spark).where(~F.col("via_star")).collect()
+        }
+
+    assert results["incremental"] == results["stateful"]
+
+    pipe = DedupPipeline(CFG)
+    batch = {
+        (r["id_a"], r["id_b"])
+        for r in candidate_pairs(
+            pipe.buckets(pipe.signatures_from_text(pages)),
+            alpha=CFG.alpha,
+            max_bucket_size=CFG.max_bucket_size,
+        )
+        .where(~F.col("via_star"))
+        .collect()
+    }
+    assert results["stateful"] == batch
+
+
+@pytest.mark.parametrize("mode", ["incremental", "stateful"])
+def test_full_tail_over_sink(spark, tmp_path, mode):
+    """alpha count → Jaccard verify → connected components over the
+    streaming sink recovers the planted clusters (either mode)."""
+    cfg = SynthConfig(n_docs=300, seed=41)
+    src = str(tmp_path / "src")
+    pages = _write_stream_files(spark, cfg, src)
+
+    sd = stream_dedup(CFG, str(tmp_path / "work"), mode=mode)
+    sd.start(spark, src + "/*", max_files_per_trigger=1).awaitTermination(240)
+
+    ver = sd.verified_pairs(spark, pages).cache()
+    # verified pairs carry jaccard ≥ threshold and canonical order
+    for r in ver.limit(50).collect():
+        assert r["id_a"] < r["id_b"]
+        assert r["jaccard"] >= CFG.jaccard_threshold
+
+    truth = truth_pairs(spark, cfg)
+    # planted tiers are (0.95, 0.85, 0.75, 0.60) target shingle overlap;
+    # with the default 0.8 verify gate every 0.95-tier pair must survive
+    # (0.85 sits on the gate within synthesis noise — excluded)
+    got_pairs = {(r["id_a"], r["id_b"]) for r in ver.collect()}
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in truth.where(F.col("tier") >= 0.9).collect()
+    }
+    recall = len(got_pairs & want) / len(want)
+    assert recall >= 0.95, f"tier>=0.9 recall {recall}"
+
+    clusters = sd.clusters(spark, pages)
+    # every clustered doc pair in the same cluster_id is a real dup
+    # cluster member (clusters only form over verified edges)
+    assert clusters.count() > 0
+    joined = clusters.alias("x").join(
+        clusters.alias("y"), F.col("x.cluster_id") == F.col("y.cluster_id")
+    ).where(F.col("x.doc_id") < F.col("y.doc_id"))
+    n_same = joined.count()
+    n_true = joined.join(
+        truth.select(
+            F.col("id_a").alias("x_doc_id"), F.col("id_b").alias("y_doc_id")
+        ),
+        (F.col("x.doc_id") == F.col("x_doc_id"))
+        & (F.col("y.doc_id") == F.col("y_doc_id")),
+        "left_semi",
+    ).count()
+    assert n_true / n_same >= 0.95, f"cluster precision {n_true}/{n_same}"
