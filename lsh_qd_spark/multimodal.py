@@ -49,11 +49,11 @@ def require_decoder(kind: str) -> Callable[[bytes], np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
-def decode_ppm(payload: bytes) -> np.ndarray:
-    """Binary PPM (P6) → (H, W, 3) uint8 array. Full header grammar:
-    whitespace-separated tokens with ``#`` comments, maxval ≤ 255."""
-    if not payload or not payload.startswith(b"P6"):
-        raise ValueError("not a binary PPM (P6) payload")
+def _pnm_header(payload: bytes, magic: bytes, fmt: str) -> tuple[int, int, int]:
+    """Parse a binary PNM header (P5/P6): whitespace-separated tokens with
+    ``#`` comments, maxval ≤ 255. Returns (width, height, raster_offset)."""
+    if not payload or not payload.startswith(magic):
+        raise ValueError(f"not a binary {fmt} ({magic.decode()}) payload")
     # tokenize the header byte-by-byte (comments run to end of line)
     tokens: list[bytes] = []
     i = 2
@@ -71,10 +71,16 @@ def decode_ppm(payload: bytes) -> np.ndarray:
             cur += c
         i += 1
     if len(tokens) < 3:
-        raise ValueError("truncated PPM header")
+        raise ValueError(f"truncated {fmt} header")
     w, h, maxval = (int(t) for t in tokens)
     if maxval > 255:
-        raise ValueError("16-bit PPM not supported")
+        raise ValueError(f"16-bit {fmt} not supported")
+    return w, h, i
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (H, W, 3) uint8 array."""
+    w, h, i = _pnm_header(payload, b"P6", "PPM")
     raster = payload[i : i + w * h * 3]
     if len(raster) < w * h * 3:
         raise ValueError("truncated PPM raster")
@@ -86,6 +92,72 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
         img, dtype=np.uint8
     ).tobytes()
+
+
+def decode_pgm(payload: bytes) -> np.ndarray:
+    """Binary PGM (P5, grayscale) → (H, W) uint8 array. Same header
+    grammar as PPM; one byte per pixel."""
+    w, h, i = _pnm_header(payload, b"P5", "PGM")
+    raster = payload[i : i + w * h]
+    if len(raster) < w * h:
+        raise ValueError("truncated PGM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w).copy()
+
+
+def encode_pgm(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    return b"P5\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img, dtype=np.uint8
+    ).tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) → (H, W, 3)
+    uint8 RGB array. Pure struct/NumPy: handles the 4-byte row padding and
+    the bottom-up (positive height) / top-down (negative height) raster
+    orders. The third codec-free real format next to PPM/PGM."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError("pre-BITMAPINFOHEADER BMP not supported")
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    raster = payload[data_offset : data_offset + stride * h]
+    if len(raster) < stride * h:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up storage
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → uncompressed 24-bit bottom-up BMP."""
+    import struct
+
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = (
+        np.ascontiguousarray(img[::-1, :, ::-1], dtype=np.uint8).reshape(h, -1)
+    )
+    raster = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", 54 + len(raster), 0, 0, 54,
+        40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0,
+    )
+    return header + raster
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -135,7 +207,11 @@ def image_feature(img: np.ndarray, grid: int = 8) -> np.ndarray:
     perceptual aHash embedding. Arbitrary (H, W) bins to the grid with a
     single bincount (no per-block Python loop)."""
     h, w = img.shape[:2]
-    gray = img.astype(np.float32).mean(axis=2)
+    gray = (
+        img.astype(np.float32)
+        if img.ndim == 2  # grayscale (PGM / PIL mode "L")
+        else img.astype(np.float32)[:, :, :3].mean(axis=2)
+    )
     rb = np.arange(h, dtype=np.int64) * grid // h
     cb = np.arange(w, dtype=np.int64) * grid // w
     bins = (rb[:, None] * grid + cb[None, :]).ravel()
@@ -180,6 +256,65 @@ def wav_feature_decoder(n_windows: int = 32) -> Callable[[bytes], np.ndarray]:
 
     def decode(payload: bytes) -> np.ndarray:
         x, _rate = decode_wav(payload)
+        return audio_feature(x, n_windows)
+
+    return decode
+
+
+def pgm_feature_decoder(grid: int = 8) -> Callable[[bytes], np.ndarray]:
+    """payload → 64-dim perceptual feature (decode_pgm + image_feature)."""
+
+    def decode(payload: bytes) -> np.ndarray:
+        return image_feature(decode_pgm(payload), grid)
+
+    return decode
+
+
+def bmp_feature_decoder(grid: int = 8) -> Callable[[bytes], np.ndarray]:
+    """payload → 64-dim perceptual feature (decode_bmp + image_feature)."""
+
+    def decode(payload: bytes) -> np.ndarray:
+        return image_feature(decode_bmp(payload), grid)
+
+    return decode
+
+
+def pil_feature_decoder(grid: int = 8) -> Callable[[bytes], np.ndarray]:
+    """Production image decode: any PIL-readable payload (JPEG/PNG/WebP/…)
+    → perceptual feature. Runtime-detected — raises the standard stub error
+    when Pillow is absent (this sandbox), so the same call site works the
+    day a codec exists (tests/test_multimodal_codecs.py skip-if-no-PIL)."""
+    try:
+        from PIL import Image
+    except ImportError:
+        require_decoder("PIL image")
+
+    def decode(payload: bytes) -> np.ndarray:
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            arr = np.asarray(im.convert("RGB"))
+        return image_feature(arr, grid)
+
+    return decode
+
+
+def soundfile_feature_decoder(
+    n_windows: int = 32,
+) -> Callable[[bytes], np.ndarray]:
+    """Production audio decode: any libsndfile-readable payload (FLAC/OGG/
+    WAV/…) → energy/ZCR feature. Runtime-detected like the PIL path."""
+    try:
+        import soundfile
+    except ImportError:
+        require_decoder("soundfile audio")
+
+    def decode(payload: bytes) -> np.ndarray:
+        import io
+
+        x, _rate = soundfile.read(io.BytesIO(payload), dtype="float32")
+        if x.ndim > 1:
+            x = x.mean(axis=1)
         return audio_feature(x, n_windows)
 
     return decode

@@ -704,25 +704,30 @@ FROM toks WHERE len(t) > 0
 """
 
 
-# Per-language high-frequency stopword profiles (lowercase — tokens() already
-# normalizes). Overlapping words across languages are fine: argmax over raw
-# counts still discriminates, and ties break by dict order (first max wins),
-# identically in both engines. One dict feeds BOTH the Spark expression and
-# the generated SQL twin so the two can never drift.
-LANG_MARKERS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "and", "of", "to", "in", "is", "that", "it"),
-    "de": ("der", "die", "und", "das", "nicht", "ist", "ich", "ein"),
-    "fr": ("le", "la", "et", "les", "des", "est", "une", "que"),
-    "es": ("el", "y", "los", "las", "por", "con", "para", "como"),
-    "pt": ("o", "e", "do", "da", "em", "um", "uma", "com"),
-    "it": ("il", "di", "che", "per", "non", "sono", "della", "gli"),
-    "nl": ("de", "het", "een", "van", "ik", "dat", "niet", "ze"),
-    "sv": ("och", "att", "det", "som", "på", "är", "av", "inte"),
-    "pl": ("i", "w", "nie", "na", "to", "się", "jest", "z"),
-    "tr": ("ve", "bir", "bu", "için", "ne", "gibi", "çok", "ama"),
-    "id": ("yang", "dan", "di", "itu", "dengan", "ini", "untuk", "tidak"),
-    "fi": ("ja", "on", "ei", "että", "hän", "se", "mutta", "oli"),
-}
+# Per-language high-frequency function-word profiles. The word lists live
+# in package DATA (data/lang_profiles.json — transcribed from the
+# public-domain Snowball/NLTK stopword lists), not code; the loader drops
+# words shared by 3+ profiles so the argmax stays discriminative (words in
+# exactly 2 profiles are kept — they still separate both from the other
+# ten). Ties break by dict order (first max wins), identically in both
+# engines: one dict feeds BOTH the Spark expression and the generated SQL
+# twin so the two can never drift.
+def _load_lang_profiles() -> dict[str, tuple[str, ...]]:
+    import json as _json
+    from collections import Counter
+    from importlib import resources
+
+    raw = _json.loads(
+        resources.files("lsh_qd_spark.data")
+        .joinpath("lang_profiles.json")
+        .read_text("utf-8")
+    )
+    raw.pop("_comment", None)
+    df = Counter(w for ws in raw.values() for w in set(ws))
+    return {lg: tuple(w for w in ws if df[w] <= 2) for lg, ws in raw.items()}
+
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = _load_lang_profiles()
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:

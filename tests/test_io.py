@@ -40,3 +40,68 @@ def test_parquet_roundtrip_and_dynamic_overwrite(spark, tmp_path):
     }
     assert got == {(9, 0), (3, 1)}
     assert read_pages(spark, ref).count() == 2
+
+
+class _WriterRecorder:
+    """Stand-in for the DataFrameWriterV2 returned by df.writeTo — records
+    the exact call sequence the catalog branch would issue to Iceberg."""
+
+    def __init__(self, log):
+        self.log = log
+
+    def partitionedBy(self, *cols):
+        self.log.append(("partitionedBy", tuple(str(c) for c in cols)))
+        return self
+
+    def createOrReplace(self):
+        self.log.append(("createOrReplace",))
+
+    def append(self):
+        self.log.append(("append",))
+
+    def overwritePartitions(self):
+        self.log.append(("overwritePartitions",))
+
+
+class _FakeDF:
+    """Duck-typed DataFrame: only the writeTo entry point the catalog
+    branch of write_stage touches."""
+
+    def __init__(self):
+        self.log = []
+
+    def writeTo(self, ref):
+        self.log.append(("writeTo", ref))
+        return _WriterRecorder(self.log)
+
+
+def test_catalog_branch_call_contract():
+    """No Iceberg jar exists in-sandbox, so the production (catalog) branch
+    of write_stage cannot run for real; this contract test pins the
+    DataSourceV2 call sequence it issues for each mode (round-2 verdict
+    item #9). If the branch ever changes, this fails before production does."""
+    import pytest
+
+    for mode, tail in [
+        ("overwrite", ("createOrReplace",)),
+        ("append", ("append",)),
+        ("dynamic_overwrite", ("overwritePartitions",)),
+    ]:
+        df = _FakeDF()
+        write_stage(df, "iceberg.crawl.stage", mode=mode)
+        assert df.log == [("writeTo", "iceberg.crawl.stage"), tail]
+
+    # partitioning precedes the terminal action
+    df = _FakeDF()
+    write_stage(
+        df, "iceberg.crawl.stage", mode="overwrite", partition_by=["epoch", "shard"]
+    )
+    assert [c[0] for c in df.log] == [
+        "writeTo",
+        "partitionedBy",
+        "createOrReplace",
+    ]
+    assert df.log[1][1] == ("Column<'epoch'>", "Column<'shard'>")
+
+    with pytest.raises(ValueError, match="unknown write mode"):
+        write_stage(_FakeDF(), "iceberg.crawl.stage", mode="upsert")

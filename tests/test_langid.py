@@ -46,3 +46,44 @@ def test_markers_are_lowercase_and_nonempty():
     for lang, ws in LANG_MARKERS.items():
         assert len(ws) >= 6, lang
         assert all(w == w.lower() and w for w in ws), lang
+
+
+def test_planted_multilingual_accuracy(spark, tmp_path):
+    """Accuracy bound on a planted multilingual fixture: per-language docs
+    mixing 40% function words (sampled from the FULL public-list profile,
+    ambiguous words included) with 60% language-neutral content tokens.
+    Stated bound: >=0.95 accuracy over 12 languages x 40 docs."""
+    import json
+    import random
+    from importlib import resources
+
+    raw = json.loads(
+        resources.files("lsh_qd_spark.data")
+        .joinpath("lang_profiles.json")
+        .read_text("utf-8")
+    )
+    raw.pop("_comment", None)
+    rng = random.Random(7)
+    rows, want = [], {}
+    doc_id = 0
+    for lang, words in raw.items():
+        for _ in range(40):
+            toks = [
+                rng.choice(words)
+                if rng.random() < 0.4
+                else f"w{rng.randrange(5000)}"
+                for _ in range(50)
+            ]
+            rows.append((doc_id, " ".join(toks)))
+            want[doc_id] = lang
+            doc_id += 1
+    root = tmp_path / "ml_sf"
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(root / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: r["lang_guess"]
+        for r in q_langid(spark, str(root)).collect()
+    }
+    acc = sum(got[i] == want[i] for i in want) / len(want)
+    assert acc >= 0.95, f"accuracy {acc:.3f}"

@@ -101,3 +101,165 @@ def test_wav_feature_decoder_shape():
     f = wav_feature_decoder(16)(encode_wav(x, 8000))
     assert f.shape == (32,)
     assert abs(float(np.linalg.norm(f)) - 1.0) < 1e-5
+
+
+def test_pgm_roundtrip_and_gray_features():
+    from lsh_qd_spark.multimodal import decode_pgm, encode_pgm
+
+    gray = np.random.default_rng(9).integers(0, 256, (48, 64), dtype=np.uint8)
+    assert np.array_equal(decode_pgm(encode_pgm(gray)), gray)
+    with pytest.raises(ValueError):
+        decode_pgm(encode_ppm(_image(1)))  # P6 magic rejected by P5 decoder
+    # grayscale feature == feature of the equivalent 3-channel image
+    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    assert float(image_feature(gray) @ image_feature(rgb)) > 0.9999
+
+
+def test_bmp_roundtrip_both_raster_orders():
+    import struct
+
+    from lsh_qd_spark.multimodal import decode_bmp, encode_bmp
+
+    img = _image(11)
+    payload = encode_bmp(img)
+    assert np.array_equal(decode_bmp(payload), img)
+    # top-down variant (negative height) must decode identically
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[:, :, ::-1].reshape(h, -1)  # not flipped
+    top_down = (
+        payload[:22] + struct.pack("<i", -h) + payload[26:54] + rows.tobytes()
+    )
+    assert np.array_equal(decode_bmp(top_down), img)
+    with pytest.raises(ValueError):
+        decode_bmp(payload[:-40])  # truncated raster
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG not a bmp")
+
+
+def test_same_image_same_feature_across_formats():
+    """PPM, PGM-of-gray, and BMP payloads of one image agree on the
+    perceptual feature — the format layer is transparent to dedup."""
+    from lsh_qd_spark.multimodal import (
+        bmp_feature_decoder,
+        encode_bmp,
+        ppm_feature_decoder,
+    )
+
+    img = _image(13)
+    f_ppm = ppm_feature_decoder()(encode_ppm(img))
+    f_bmp = bmp_feature_decoder()(encode_bmp(img))
+    assert float(f_ppm @ f_bmp) > 0.9999
+
+
+def test_media_near_dup_mixed_formats(spark):
+    """Near-dup pairs recovered when the two copies use DIFFERENT codecs
+    (PPM original vs BMP re-encode) — one decode_fn dispatching on magic
+    bytes, the realistic crawl shape."""
+    from lsh_qd_spark.multimodal import decode_bmp, encode_bmp
+
+    def any_image(payload: bytes) -> np.ndarray:
+        img = (
+            decode_bmp(payload)
+            if payload[:2] == b"BM"
+            else __import__(
+                "lsh_qd_spark.multimodal", fromlist=["decode_ppm"]
+            ).decode_ppm(payload)
+        )
+        return image_feature(img)
+
+    rows, truth = [], set()
+    for i in range(20):
+        img = _image(200 + i)
+        rows.append((2 * i, "image", encode_ppm(img), "image/x-portable-pixmap",
+                     64, 48, None))
+        rows.append((2 * i + 1, "image", encode_bmp(img), "image/bmp",
+                     64, 48, None))
+        truth.add((2 * i, 2 * i + 1))
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in media_near_dup(media, any_image, cosine_threshold=0.99).collect()
+    }
+    assert got == truth
+
+
+try:
+    import PIL  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+try:
+    import soundfile  # noqa: F401
+
+    HAVE_SF = True
+except ImportError:
+    HAVE_SF = False
+
+
+@pytest.mark.skipif(not HAVE_PIL, reason="Pillow not installed (sandbox)")
+def test_pil_decoder_production_contract(spark):
+    """The day a codec exists: PNG bytes through the SAME media_near_dup
+    call sites, decode_fn=pil_feature_decoder()."""
+    import io
+
+    from PIL import Image
+
+    from lsh_qd_spark.multimodal import pil_feature_decoder
+
+    rows, truth = [], set()
+    rng = np.random.default_rng(17)
+    for i in range(10):
+        img = _image(300 + i)
+        noisy = np.clip(
+            img.astype(np.int16) + rng.integers(-6, 7, img.shape), 0, 255
+        ).astype(np.uint8)
+        for j, arr in enumerate((img, noisy)):
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="PNG")
+            rows.append((2 * i + j, "image", buf.getvalue(), "image/png",
+                         64, 48, None))
+        truth.add((2 * i, 2 * i + 1))
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in media_near_dup(
+            media, pil_feature_decoder(), cosine_threshold=0.9
+        ).collect()
+    }
+    assert got == truth
+
+
+@pytest.mark.skipif(not HAVE_SF, reason="soundfile not installed (sandbox)")
+def test_soundfile_decoder_production_contract():
+    import soundfile as sf
+    import io
+
+    from lsh_qd_spark.multimodal import soundfile_feature_decoder
+
+    t = np.linspace(0, 1, 8000, endpoint=False)
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    buf = io.BytesIO()
+    sf.write(buf, x, 8000, format="WAV")
+    f = soundfile_feature_decoder(16)(buf.getvalue())
+    ref = wav_feature_decoder(16)(encode_wav(x, 8000))
+    assert float(f @ ref) > 0.999
+
+
+def test_codec_stub_raises_loudly():
+    from lsh_qd_spark.multimodal import pil_feature_decoder
+
+    if HAVE_PIL:
+        pytest.skip("Pillow present — stub path not reachable")
+    with pytest.raises(NotImplementedError, match="codec"):
+        pil_feature_decoder()

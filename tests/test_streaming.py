@@ -105,3 +105,40 @@ def test_replayed_epoch_does_not_double_append(spark, tmp_path):
     )
     assert replay_hits == first_hits
     assert spark.read.parquet(inc.index_dir).count() == first_index
+
+
+def test_many_shards_config(spark, tmp_path):
+    """n_shards > 64: the per-batch shard-collect stays bounded by the
+    configured shard count and pruning still finds every cross-batch dup
+    (pins the loud-bound contract documented at the collect site)."""
+    work = str(tmp_path / "work")
+    cfg = SynthConfig(n_docs=120, seed=43)
+    pages = generate_pages(spark, cfg).cache()
+    dstart = cfg.dup_start
+    inc = IncrementalDedup(
+        DedupConfig(rows_per_band=2, num_bands=16, alpha=2), work, n_shards=256
+    )
+    first = pages.where(
+        (F.col("doc_id") < dstart) | ((F.col("doc_id") - dstart) % 3 != 2)
+    )
+    second = pages.where(
+        (F.col("doc_id") >= dstart) & ((F.col("doc_id") - dstart) % 3 == 2)
+    )
+    inc.process_batch(first, epoch_id=0)
+    inc.process_batch(second, epoch_id=1)
+    held_out = [r["doc_id"] for r in second.select("doc_id").collect()]
+    hit_new_docs = {
+        r["new_doc"]
+        for r in inc.hits(spark).where(F.col("epoch") == 1).collect()
+    }
+    missing = set(held_out) - hit_new_docs
+    assert len(missing) <= 0.05 * len(held_out), f"missing {sorted(missing)}"
+    # shard values really span the configured modulus
+    shards = {
+        r["shard"]
+        for r in spark.read.parquet(inc.index_dir)
+        .select("shard")
+        .distinct()
+        .collect()
+    }
+    assert max(shards) >= 64 and len(shards) <= 256
