@@ -425,6 +425,11 @@ def run_scaling(deadline: float | None = None) -> dict:
 
 
 BEST_SCALING_PATH = os.path.join(REPO, "BENCH", "best_scaling.json")
+# best_scaling.json compares like with like: only runs over the standard
+# scaling corpus are eligible (a smoke run at 200k pages has a different
+# Amdahl floor and would record a meaningless "best"). Change the standard
+# → delete the file.
+STANDARD_SCALE_DOCS = 3_000_000
 
 
 def update_best_scaling(s: dict | None) -> dict | None:
@@ -438,7 +443,11 @@ def update_best_scaling(s: dict | None) -> dict | None:
     if os.path.exists(BEST_SCALING_PATH):
         with open(BEST_SCALING_PATH) as f:
             best = json.load(f)
-    if s and s.get("scaling_efficiency_n_to_4n") is not None:
+    if (
+        s
+        and s.get("scaling_efficiency_n_to_4n") is not None
+        and s.get("n_pages") == STANDARD_SCALE_DOCS
+    ):
         if (
             best is None
             or s["scaling_efficiency_n_to_4n"]
