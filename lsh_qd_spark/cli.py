@@ -1,0 +1,164 @@
+"""Command-line entry point — the spark-submit surface of the engine.
+
+The north rule's deployment shape is ``spark-submit --py-files
+lsh_qd_spark.zip`` against an Iceberg/parquet pages table; this module is
+the one-command driver for it:
+
+    spark-submit --py-files lsh_qd_spark.zip scripts/run_dedup.py \
+        --input iceberg_cat.crawl.pages --output iceberg_cat.crawl.dedup \
+        --num-bands 16 --rows-per-band 2 --jaccard-threshold 0.8 \
+        --checkpoint-dir hdfs://…/ckpt
+
+Batch mode runs the full staged pipeline (resumable when
+``--checkpoint-dir`` is set) and writes three result tables under the
+output ref: ``verified`` (the duplicate-pair evidence), ``clusters``
+(doc_id → cluster_id), ``survivors`` (one kept doc per cluster — the
+collapsed corpus). Streaming modes run the ``stream_dedup`` facade over a
+file source until exhausted (``availableNow``), then write the same tail.
+
+Everything here is thin argument plumbing over the library operators —
+the CLI adds no semantics of its own, so library users and CLI users get
+identical results.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="run_dedup",
+        description="Near-duplicate detection + clustering over a pages table",
+    )
+    p.add_argument("--input", required=True,
+                   help="pages table: parquet path or catalog identifier")
+    p.add_argument("--output", required=True,
+                   help="output root: directory path or catalog namespace prefix")
+    p.add_argument("--mode", default="batch",
+                   choices=["batch", "incremental", "stateful"])
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--shingle-k", type=int, default=5)
+    p.add_argument("--rows-per-band", type=int, default=2)
+    p.add_argument("--num-bands", type=int, default=16)
+    p.add_argument("--alpha", type=int, default=1)
+    p.add_argument("--jaccard-threshold", type=float, default=0.8)
+    p.add_argument("--max-bucket-size", type=int, default=2000)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="batch: stage-resume dir; streaming: work dir")
+    p.add_argument("--include-singletons", action="store_true")
+    p.add_argument("--plan-only", action="store_true",
+                   help="print the clusters physical plan and exit (no write)")
+    return p
+
+
+def make_config(args):
+    from lsh_qd_spark.config import DedupConfig
+
+    return DedupConfig(
+        shingle_k=args.shingle_k,
+        rows_per_band=args.rows_per_band,
+        num_bands=args.num_bands,
+        alpha=args.alpha,
+        jaccard_threshold=args.jaccard_threshold,
+        max_bucket_size=args.max_bucket_size,
+    )
+
+
+def _out_ref(root: str, name: str) -> str:
+    from lsh_qd_spark.io import is_path_ref
+
+    return f"{root}/{name}" if is_path_ref(root) else f"{root}_{name}"
+
+
+def run_batch(spark, args) -> dict:
+    from pyspark.sql import functions as F
+
+    from lsh_qd_spark.io import read_pages, write_stage
+    from lsh_qd_spark.plans.pipeline import DedupPipeline
+
+    pages = read_pages(spark, args.input)
+    pipe = DedupPipeline(make_config(args), checkpoint_dir=args.checkpoint_dir)
+    out = pipe.run(
+        pages,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        include_singletons=args.include_singletons,
+    )
+    if args.plan_only:
+        out["clusters"].explain("formatted")
+        return {}
+    clusters = out["clusters"]
+    # survivors: keep the longest text per cluster (ties → min doc_id) —
+    # single max_by aggregation, no window sort (oracle.py dedup_survivors
+    # semantics)
+    joined = clusters.join(
+        pages.select(
+            F.col(args.id_col).alias("doc_id"),
+            F.length(args.text_col).alias("_len"),
+        ),
+        "doc_id",
+    )
+    survivors = joined.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col("doc_id"), F.struct(F.col("_len"), -F.col("doc_id"))
+        ).alias("doc_id")
+    ).select("doc_id", "cluster_id")
+    write_stage(out["verified"], _out_ref(args.output, "verified"), "overwrite")
+    write_stage(clusters, _out_ref(args.output, "clusters"), "overwrite")
+    write_stage(survivors, _out_ref(args.output, "survivors"), "overwrite")
+    stats = {
+        "mode": "batch",
+        "stage_metrics": {
+            k: vars(m) for k, m in pipe.metrics.items()
+        },
+    }
+    return stats
+
+
+def run_streaming(spark, args) -> dict:
+    from lsh_qd_spark.io import read_pages, write_stage
+    from lsh_qd_spark.streaming import stream_dedup
+
+    if args.checkpoint_dir is None:
+        raise SystemExit("--checkpoint-dir (work dir) required for streaming")
+    sd = stream_dedup(make_config(args), args.checkpoint_dir, mode=args.mode)
+    q = sd.start(spark, args.input)
+    q.awaitTermination()
+    pages = read_pages(spark, args.input)
+    write_stage(
+        sd.verified_pairs(spark, pages, args.text_col, args.id_col),
+        _out_ref(args.output, "verified"),
+        "overwrite",
+    )
+    write_stage(
+        sd.clusters(spark, pages, args.text_col, args.id_col),
+        _out_ref(args.output, "clusters"),
+        "overwrite",
+    )
+    return {"mode": args.mode}
+
+
+def main(argv: list[str] | None = None) -> None:
+    from pyspark.sql import SparkSession
+
+    args = build_parser().parse_args(argv)
+    spark = SparkSession.builder.getOrCreate()
+    t0 = time.time()
+    stats = (
+        run_batch(spark, args)
+        if args.mode == "batch"
+        else run_streaming(spark, args)
+    )
+    if stats:
+        stats["seconds"] = round(time.time() - t0, 2)
+        json.dump(stats, sys.stdout)
+        sys.stdout.write("\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""CLI entry (lsh_qd_spark.cli): batch mode writes verified/clusters/
+survivors with the library's exact semantics; plan-only mode writes
+nothing. The spark-submit deployment itself is driven by the verify
+recipe (scripts/run_dedup.py is a shim over this module)."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from lsh_qd_spark.cli import main
+from lsh_qd_spark.synth import SynthConfig, generate_pages, truth_pairs
+
+
+def test_cli_batch_end_to_end(spark, tmp_path, capsys):
+    scfg = SynthConfig(n_docs=400, seed=53)
+    src = str(tmp_path / "pages")
+    generate_pages(spark, scfg).write.parquet(src)
+    out = str(tmp_path / "out")
+    main(
+        [
+            "--input", src,
+            "--output", out,
+            "--num-bands", "16",
+            "--rows-per-band", "2",
+            "--jaccard-threshold", "0.55",
+            "--max-bucket-size", "50",
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+        ]
+    )
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["mode"] == "batch"
+    assert stats["stage_metrics"]["signatures"]["rows"] == 400
+
+    truth = truth_pairs(spark, scfg).where(F.col("tier") >= 0.6)
+    ver = spark.read.parquet(f"{out}/verified")
+    assert truth.join(ver, ["id_a", "id_b"]).count() == truth.count()
+    clusters = spark.read.parquet(f"{out}/clusters")
+    survivors = spark.read.parquet(f"{out}/survivors")
+    # exactly one survivor per duplicate cluster, and it's the longest doc
+    assert survivors.count() == clusters.select("cluster_id").distinct().count()
+    longest = (
+        clusters.join(
+            spark.read.parquet(src).select("doc_id", F.length("text").alias("L")),
+            "doc_id",
+        )
+        .groupBy("cluster_id")
+        .agg(F.max_by("doc_id", F.struct(F.col("L"), -F.col("doc_id"))).alias("doc_id"))
+    )
+    assert (
+        survivors.join(longest, ["cluster_id", "doc_id"]).count()
+        == survivors.count()
+    )
+
+
+def test_cli_plan_only_writes_nothing(spark, tmp_path, capsys):
+    scfg = SynthConfig(n_docs=100, seed=59)
+    src = str(tmp_path / "pages")
+    generate_pages(spark, scfg).write.parquet(src)
+    out = str(tmp_path / "out")
+    main(["--input", src, "--output", out, "--plan-only"])
+    assert "Physical Plan" in capsys.readouterr().out
+    assert not os.path.exists(out)
