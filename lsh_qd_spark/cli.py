@@ -123,12 +123,14 @@ def run_batch(spark, args) -> dict:
 def run_streaming(spark, args) -> dict:
     from lsh_qd_spark.io import read_pages, write_stage
     from lsh_qd_spark.streaming import stream_dedup
+    from lsh_qd_spark.streaming.facade import save_progress
 
     if args.checkpoint_dir is None:
         raise SystemExit("--checkpoint-dir (work dir) required for streaming")
     sd = stream_dedup(make_config(args), args.checkpoint_dir, mode=args.mode)
     q = sd.start(spark, args.input)
     q.awaitTermination()
+    save_progress(q, args.checkpoint_dir)
     pages = read_pages(spark, args.input)
     write_stage(
         sd.verified_pairs(spark, pages, args.text_col, args.id_col),

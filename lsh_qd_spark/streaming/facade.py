@@ -130,6 +130,24 @@ class StreamDedup:
         )
 
 
+def save_progress(query, work_dir: str) -> str:
+    """Persist a finished streaming query's progress telemetry
+    (``recentProgress``: per-batch numInputRows, state-store rows/memory,
+    durations) to ``<work_dir>/metrics/query_progress.json`` — the
+    Structured-Streaming-native half of the north rule's per-partition
+    lineage + metrics. The incremental mode additionally writes per-epoch
+    shard lineage itself (``IncrementalDedup.record_metrics``)."""
+    import json
+    import os
+
+    out_dir = os.path.join(work_dir, "metrics")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "query_progress.json")
+    with open(path, "w") as f:
+        json.dump([json.loads(p.json) for p in query.recentProgress], f, indent=2)
+    return path
+
+
 def stream_dedup(
     config: DedupConfig,
     work_dir: str,

@@ -35,6 +35,7 @@ replayed epoch rewrites its own partitions idempotently.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,12 +56,20 @@ HITS_SCHEMA = "new_doc long, existing_doc long, n_bands long, epoch long"
 class IncrementalDedup:
     """foreachBatch-driven incremental dedup over a streaming pages source."""
 
-    def __init__(self, config: DedupConfig, work_dir: str, n_shards: int = 64):
+    def __init__(
+        self,
+        config: DedupConfig,
+        work_dir: str,
+        n_shards: int = 64,
+        record_metrics: bool = True,
+    ):
         self.config = config
         self.work_dir = work_dir
         self.n_shards = n_shards
+        self.record_metrics = record_metrics
         self.index_dir = os.path.join(work_dir, "bucket_index")
         self.hits_dir = os.path.join(work_dir, "dup_hits")
+        self.metrics_dir = os.path.join(work_dir, "metrics")
         self.checkpoint_dir = os.path.join(work_dir, "stream_checkpoint")
         self.pipe = DedupPipeline(config)
 
@@ -138,6 +147,38 @@ class IncrementalDedup:
         write_stage(
             buckets, self.index_dir, "dynamic_overwrite", ["epoch", "shard"]
         )
+        if self.record_metrics:
+            # Per-epoch lineage + metrics (north rule): per-shard bucket-row
+            # counts (the index partitions this epoch wrote) + hit count.
+            # Cheap: buckets is persisted, and the hit count reads only the
+            # freshly-written epoch partition. The file is keyed by epoch,
+            # so a replayed epoch overwrites its own metrics idempotently —
+            # same contract as the data sinks.
+            shard_rows = {
+                str(r["shard"]): r["n"]
+                for r in buckets.groupBy("shard")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            n_hits = (
+                read_stage(spark, self.hits_dir)
+                .where(F.col("epoch") == epoch_id)
+                .count()
+            )
+            os.makedirs(self.metrics_dir, exist_ok=True)
+            with open(
+                os.path.join(self.metrics_dir, f"epoch_{epoch_id}.json"), "w"
+            ) as f:
+                json.dump(
+                    {
+                        "epoch": epoch_id,
+                        "bucket_rows": sum(shard_rows.values()),
+                        "hits": n_hits,
+                        "shard_rows": shard_rows,
+                    },
+                    f,
+                    indent=2,
+                )
         buckets.unpersist()
 
     def start(self, spark: SparkSession, source_dir: str, **read_options):

@@ -1,0 +1,71 @@
+"""Bench-harness logic guards (round-2 verdict #1: the harness itself is
+round-critical). No Spark here — pure logic: the cumulative gate-sleep
+budget, the best-scaling persistence rules, and the median."""
+
+import json
+
+import bench
+
+
+def test_median():
+    assert bench._median([3.0]) == 3.0
+    assert bench._median([1.0, 9.0]) == 5.0
+    assert bench._median([9.0, 1.0, 5.0]) == 5.0
+    assert bench._median([4.0, 1.0, 9.0, 5.0]) == 4.5
+
+
+def test_gate_sleep_budget_is_cumulative(monkeypatch):
+    """wait_for_weather can never sleep more than GATE_SLEEP_BUDGET in
+    total across EVERY call in the process — the round-2 failure mode was
+    per-call budgets compounding to ~an hour."""
+    slept = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: slept.append(s))
+    monkeypatch.setattr(
+        bench, "weather_probe", lambda: {"effective_cores": 1.0}
+    )
+    monkeypatch.setattr(bench, "GATE_SLEEP_BUDGET", 70)
+    monkeypatch.setattr(bench, "PROBE_WAIT_SEC", 30)
+    bench._gate_sleep_spent = 0.0
+    p1 = bench.wait_for_weather()  # burns 30+30+10 = 70s, then gives up
+    assert sum(slept) == 70
+    assert p1["waited_s"] == 70
+    p2 = bench.wait_for_weather()  # budget exhausted: returns immediately
+    assert sum(slept) == 70
+    assert p2["waited_s"] == 0
+    # a quiet probe returns without sleeping regardless of budget state
+    monkeypatch.setattr(
+        bench, "weather_probe", lambda: {"effective_cores": 16.0}
+    )
+    bench._gate_sleep_spent = 0.0
+    assert bench.wait_for_weather()["waited_s"] == 0
+    assert sum(slept) == 70
+
+
+def _scaling(eff, n_pages=bench.STANDARD_SCALE_DOCS):
+    return {
+        "scaling_efficiency_n_to_4n": eff,
+        "n_pages": n_pages,
+        "round_ratios": [eff],
+        "round_probes": [{"effective_cores": 14.0}],
+    }
+
+
+def test_best_scaling_persistence_rules(monkeypatch, tmp_path):
+    path = str(tmp_path / "best.json")
+    monkeypatch.setattr(bench, "BEST_SCALING_PATH", path)
+    # None / no result → nothing recorded, returns existing best (None)
+    assert bench.update_best_scaling(None) is None
+    # first eligible result is recorded with a timestamp
+    b1 = bench.update_best_scaling(_scaling(0.4))
+    assert b1["scaling_efficiency_n_to_4n"] == 0.4 and "recorded_at" in b1
+    # worse result does NOT overwrite
+    b2 = bench.update_best_scaling(_scaling(0.3))
+    assert b2["scaling_efficiency_n_to_4n"] == 0.4
+    # better result does
+    b3 = bench.update_best_scaling(_scaling(0.9))
+    assert b3["scaling_efficiency_n_to_4n"] == 0.9
+    # non-standard corpus size is ineligible (different Amdahl floor)
+    b4 = bench.update_best_scaling(_scaling(0.99, n_pages=200_000))
+    assert b4["scaling_efficiency_n_to_4n"] == 0.9
+    with open(path) as f:
+        assert json.load(f)["scaling_efficiency_n_to_4n"] == 0.9

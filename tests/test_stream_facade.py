@@ -182,3 +182,27 @@ def test_stateful_tail_at_100k_docs(spark, tmp_path):
     assert n_same > 0
     assert n_true / n_same >= 0.95, f"cluster precision {n_true}/{n_same}"
     ver.unpersist(), clusters.unpersist(), truth.unpersist()
+
+
+def test_save_progress_writes_query_telemetry(spark, tmp_path):
+    from lsh_qd_spark.streaming.facade import save_progress
+
+    cfg = SynthConfig(n_docs=150, seed=67)
+    src = str(tmp_path / "src")
+    _write_stream_files(spark, cfg, src)
+    sd = stream_dedup(CFG, str(tmp_path / "work"), mode="stateful")
+    q = sd.start(spark, src + "/*", max_files_per_trigger=1)
+    q.awaitTermination(240)
+    path = save_progress(q, str(tmp_path / "work"))
+    import json
+
+    with open(path) as f:
+        progress = json.load(f)
+    assert len(progress) >= 2  # two files → two micro-batches
+    assert sum(p["numInputRows"] for p in progress) == 150
+    # the state operator reports its stored keys (bucket state)
+    assert any(
+        op.get("numRowsTotal", 0) > 0
+        for p in progress
+        for op in p.get("stateOperators", [])
+    )

@@ -142,3 +142,29 @@ def test_many_shards_config(spark, tmp_path):
         .collect()
     }
     assert max(shards) >= 64 and len(shards) <= 256
+
+
+def test_per_epoch_metrics_lineage(spark, tmp_path):
+    """Each processed epoch writes a metrics file with per-shard lineage;
+    a replayed epoch overwrites its own file idempotently (north rule:
+    per-partition lineage + metrics, streaming half)."""
+    import json
+
+    work = str(tmp_path / "work")
+    cfg = SynthConfig(n_docs=120, seed=61)
+    pages = generate_pages(spark, cfg).cache()
+    inc = IncrementalDedup(
+        DedupConfig(rows_per_band=2, num_bands=16, alpha=1), work
+    )
+    inc.process_batch(pages, epoch_id=0)
+    path = os.path.join(inc.metrics_dir, "epoch_0.json")
+    with open(path) as f:
+        m = json.load(f)
+    assert m["epoch"] == 0
+    assert m["bucket_rows"] == sum(m["shard_rows"].values())
+    # every non-empty doc emits num_bands bucket rows
+    assert m["bucket_rows"] > 0 and m["bucket_rows"] % 16 == 0
+    assert m["hits"] == inc.hits(spark).count()
+    inc.process_batch(pages, epoch_id=0)  # replay
+    with open(path) as f:
+        assert json.load(f) == m
