@@ -306,14 +306,20 @@ def worker(
 
 
 def _run_worker(
-    cpus: int, n_trials: int | None = None, n_docs: int | None = None
+    cpus: int,
+    n_trials: int | None = None,
+    n_docs: int | None = None,
+    tag: str = "",
 ) -> dict:
     """Fresh-JVM measurement at a given parallelism: warm-up outside the
     timed window, median of SCALE_TRIALS (or one trial for the interleaved
     scaling protocol). One discipline for headline and scaling runs
     (round 1's single cold in-session headline was 7x off the worker rate
-    — VERDICT.md 'Performance' — so everything goes through here now)."""
-    out_path = f"/tmp/lsh_qd_bench_scale_{cpus}.json"
+    — VERDICT.md 'Performance' — so everything goes through here now).
+    ``tag`` separates output files for non-standard corpora (the
+    within-grant fallback pair) so the trials table never mixes corpus
+    sizes."""
+    out_path = f"/tmp/lsh_qd_bench_scale_{cpus}{tag}.json"
     cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(cpus), out_path]
     if n_trials:
         cmd.append(str(n_trials))
@@ -410,7 +416,7 @@ def run_scaling(deadline: float | None = None) -> dict:
             json.dump(results[cpus], f)
     rate_n = results[n]["n_pages"] / results[n]["sec"]
     rate_4n = results[n4]["n_pages"] / results[n4]["sec"]
-    return {
+    out = {
         "n_pages": results[n]["n_pages"],
         "cpus_n": n,
         "cpus_4n": n4,
@@ -422,6 +428,41 @@ def run_scaling(deadline: float | None = None) -> dict:
         "round_ratios": [round(r, 3) for r in ratios],
         "round_probes": probes,
     }
+    # Within-grant fallback pair: when EVERY primary round ran under a bad
+    # grant (host giving < PROBE_MIN_CORES of the 4N request), the 4→16
+    # ratio measures the hypervisor, not the engine. Measure one round of
+    # a pair that FITS the observed grant (1→4 cores — a ~5-core grant
+    # covers it) so the artifact still carries an engine-scaling number
+    # with honest provenance. Smaller corpus keeps the 1-core leg bounded;
+    # it is reported under its own key and never feeds best_scaling.json.
+    all_bad = all(
+        p.get("effective_cores", 0) < PROBE_MIN_CORES for p in probes
+    )
+    if all_bad and (deadline is None or time.time() + 420 < deadline):
+        try:
+            fb_docs = int(
+                os.environ.get("SPARK_GRAFT_FALLBACK_DOCS", "1000000")
+            )
+            fn, f4 = 1, 4
+            r1 = _run_worker(fn, n_trials=1, n_docs=fb_docs, tag="_wg")
+            r4 = _run_worker(f4, n_trials=1, n_docs=fb_docs, tag="_wg")
+            out["within_grant"] = {
+                "note": (
+                    "pair sized to fit the observed host grant; see probes"
+                ),
+                "n_pages": fb_docs,
+                "cpus_n": fn,
+                "cpus_4n": f4,
+                "n_sec": round(r1["sec"], 2),
+                "4n_sec": round(r4["sec"], 2),
+                "scaling_efficiency_n_to_4n": round(
+                    (r1["sec"] / r4["sec"]) / (f4 / fn), 3
+                ),
+                "probe": weather_probe(),
+            }
+        except (RuntimeError, subprocess.TimeoutExpired) as e:
+            sys.stderr.write(f"within-grant fallback failed: {e}\n")
+    return out
 
 
 BEST_SCALING_PATH = os.path.join(REPO, "BENCH", "best_scaling.json")
@@ -505,6 +546,23 @@ def write_bench_md(payload: dict) -> None:
         "The headline above is THIS run's weather; the best-recorded row is "
         "the engine's demonstrated ceiling with its granted-cores context.",
         "",
+        *(
+            [
+                "**Within-grant pair (all primary rounds ran under a bad "
+                f"grant):** local[{s['within_grant']['cpus_n']}] → "
+                f"local[{s['within_grant']['cpus_4n']}] at "
+                f"{s['within_grant']['n_pages']} pages measured efficiency "
+                f"**{s['within_grant']['scaling_efficiency_n_to_4n']}** "
+                f"({s['within_grant']['n_sec']}s → "
+                f"{s['within_grant']['4n_sec']}s). This pair fits inside "
+                "the cores the host actually granted, so it measures the "
+                "engine, not the hypervisor; the 4→16 number above is the "
+                "contended measurement, kept as primary for honesty.",
+                "",
+            ]
+            if s.get("within_grant")
+            else []
+        ),
         "Host weather at each round's start (effective cores granted of "
         f"{PROBE_THREADS} requested, measured by a fixed numpy probe — "
         "hypervisor steal hits high-parallelism windows hardest, biasing "
