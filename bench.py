@@ -362,7 +362,9 @@ def run_scaling(deadline: float | None = None) -> dict:
 
     def one_round() -> None:
         nonlocal n_pages
-        secs = {}
+        secs = {}  # trials[] updated only after BOTH legs succeed — a
+        # failed 4N leg must not leave an orphan N measurement skewing
+        # the reported medians for a round that produced no ratio
         round_probe = None
         for cpus in SCALE_CPUS:
             if cpus == n4:
@@ -376,9 +378,10 @@ def run_scaling(deadline: float | None = None) -> dict:
                 # forced bad-window round is visible in the data.
                 round_probe = wait_for_weather()
             r = _run_worker(cpus, n_trials=1, n_docs=SCALE_DOCS)
-            trials[cpus].append(r["sec"])
             secs[cpus] = r["sec"]
             n_pages = r["n_pages"]
+        for cpus in SCALE_CPUS:
+            trials[cpus].append(secs[cpus])
         probes.append(round_probe or weather_probe())
         ratios.append((secs[n] / secs[n4]) / (n4 / n))
 
@@ -479,27 +482,36 @@ def update_best_scaling(s: dict | None) -> dict | None:
     ships in the next driver artifact instead of living only in prose.
     Every candidate carries its per-round weather probes — the number is
     only as honest as its recorded granted-cores context, which is why the
-    probes are stored alongside, not summarized away."""
-    best = None
-    if os.path.exists(BEST_SCALING_PATH):
-        with open(BEST_SCALING_PATH) as f:
-            best = json.load(f)
-    if (
-        s
-        and s.get("scaling_efficiency_n_to_4n") is not None
-        and s.get("n_pages") == STANDARD_SCALE_DOCS
-    ):
+    probes are stored alongside, not summarized away.
+
+    Driver runs and watcher-spawned --scaling-only runs can overlap, so
+    the read-compare-write is serialized with flock — without it a slower
+    concurrent run could overwrite a better best recorded in between."""
+    import fcntl
+
+    os.makedirs(os.path.dirname(BEST_SCALING_PATH), exist_ok=True)
+    with open(BEST_SCALING_PATH + ".lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        best = None
+        if os.path.exists(BEST_SCALING_PATH):
+            with open(BEST_SCALING_PATH) as f:
+                best = json.load(f)
         if (
-            best is None
-            or s["scaling_efficiency_n_to_4n"]
-            > best["scaling_efficiency_n_to_4n"]
+            s
+            and s.get("scaling_efficiency_n_to_4n") is not None
+            and s.get("n_pages") == STANDARD_SCALE_DOCS
         ):
-            best = dict(s)
-            best["recorded_at"] = time.strftime(
-                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
-            )
-            with open(BEST_SCALING_PATH, "w") as f:
-                json.dump(best, f, indent=2)
+            if (
+                best is None
+                or s["scaling_efficiency_n_to_4n"]
+                > best["scaling_efficiency_n_to_4n"]
+            ):
+                best = dict(s)
+                best["recorded_at"] = time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                )
+                with open(BEST_SCALING_PATH, "w") as f:
+                    json.dump(best, f, indent=2)
     return best
 
 
@@ -538,14 +550,26 @@ def write_bench_md(payload: dict) -> None:
         " per the driver instruction). Median of per-round paired ratios: "
         f"`{s.get('round_ratios')}`.",
         "",
-        "**Best recorded run (any window, BENCH/best_scaling.json): "
-        f"efficiency {b.get('scaling_efficiency_n_to_4n')}** at "
-        f"{b.get('recorded_at')}, probes "
-        f"`{[p.get('effective_cores') for p in (b.get('round_probes') or [])]}`"
-        f" effective cores, per-round ratios `{b.get('round_ratios')}`. "
-        "The headline above is THIS run's weather; the best-recorded row is "
-        "the engine's demonstrated ceiling with its granted-cores context.",
-        "",
+        *(
+            [
+                "**Best recorded run (any window, BENCH/best_scaling.json): "
+                f"efficiency {b.get('scaling_efficiency_n_to_4n')}** at "
+                f"{b.get('recorded_at')}, probes "
+                f"`{[p.get('effective_cores') for p in (b.get('round_probes') or [])]}`"
+                f" effective cores, per-round ratios `{b.get('round_ratios')}`. "
+                "The headline above is THIS run's weather; the best-recorded "
+                "row is the engine's demonstrated ceiling with its "
+                "granted-cores context.",
+                "",
+            ]
+            if b
+            else [
+                "No best-recorded quiet-window run yet this cycle "
+                "(BENCH/best_scaling.json absent — the watcher retries "
+                "--scaling-only whenever the host grants enough cores).",
+                "",
+            ]
+        ),
         *(
             [
                 "**Within-grant pair (all primary rounds ran under a bad "

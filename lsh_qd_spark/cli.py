@@ -75,10 +75,49 @@ def _out_ref(root: str, name: str) -> str:
     return f"{root}/{name}" if is_path_ref(root) else f"{root}_{name}"
 
 
-def run_batch(spark, args) -> dict:
+def _survivors(pages, clusters, id_col: str, text_col: str):
+    """One kept doc per cluster: longest text, tie → smallest id.
+    ``min_by`` over ``struct(-length, id)`` (max length, then min id) —
+    type-agnostic in the id column, so string/UUID ids work; one map-side
+    partial aggregation, no window sort (oracle dedup_survivors
+    semantics)."""
     from pyspark.sql import functions as F
 
-    from lsh_qd_spark.io import read_pages, write_stage
+    joined = clusters.join(
+        pages.select(
+            F.col(id_col).alias("doc_id"),
+            F.length(text_col).alias("_len"),
+        ),
+        "doc_id",
+    )
+    return joined.groupBy("cluster_id").agg(
+        F.min_by(
+            F.col("doc_id"),
+            F.struct((-F.col("_len")).alias("n"), F.col("doc_id").alias("d")),
+        ).alias("doc_id")
+    ).select("doc_id", "cluster_id")
+
+
+def _write_results(spark, args, pages, verified, clusters) -> None:
+    """verified / clusters / survivors — the same three result tables in
+    every mode. Each table is read back after its write so downstream
+    stages consume the materialized data instead of re-running the plan
+    (the verify kernel is the expensive stage; computing it once is the
+    point of writing it)."""
+    from lsh_qd_spark.io import read_stage, write_stage
+
+    write_stage(verified, _out_ref(args.output, "verified"), "overwrite")
+    write_stage(clusters, _out_ref(args.output, "clusters"), "overwrite")
+    clusters_m = read_stage(spark, _out_ref(args.output, "clusters"))
+    write_stage(
+        _survivors(pages, clusters_m, args.id_col, args.text_col),
+        _out_ref(args.output, "survivors"),
+        "overwrite",
+    )
+
+
+def run_batch(spark, args) -> dict:
+    from lsh_qd_spark.io import read_pages
     from lsh_qd_spark.plans.pipeline import DedupPipeline
 
     pages = read_pages(spark, args.input)
@@ -92,36 +131,16 @@ def run_batch(spark, args) -> dict:
     if args.plan_only:
         out["clusters"].explain("formatted")
         return {}
-    clusters = out["clusters"]
-    # survivors: keep the longest text per cluster (ties → min doc_id) —
-    # single max_by aggregation, no window sort (oracle.py dedup_survivors
-    # semantics)
-    joined = clusters.join(
-        pages.select(
-            F.col(args.id_col).alias("doc_id"),
-            F.length(args.text_col).alias("_len"),
-        ),
-        "doc_id",
-    )
-    survivors = joined.groupBy("cluster_id").agg(
-        F.max_by(
-            F.col("doc_id"), F.struct(F.col("_len"), -F.col("doc_id"))
-        ).alias("doc_id")
-    ).select("doc_id", "cluster_id")
-    write_stage(out["verified"], _out_ref(args.output, "verified"), "overwrite")
-    write_stage(clusters, _out_ref(args.output, "clusters"), "overwrite")
-    write_stage(survivors, _out_ref(args.output, "survivors"), "overwrite")
-    stats = {
+    _write_results(spark, args, pages, out["verified"], out["clusters"])
+    return {
         "mode": "batch",
-        "stage_metrics": {
-            k: vars(m) for k, m in pipe.metrics.items()
-        },
+        "stage_metrics": {k: vars(m) for k, m in pipe.metrics.items()},
     }
-    return stats
 
 
 def run_streaming(spark, args) -> dict:
-    from lsh_qd_spark.io import read_pages, write_stage
+    from lsh_qd_spark.io import read_pages, read_stage, write_stage
+    from lsh_qd_spark.operators.cluster import connected_components
     from lsh_qd_spark.streaming import stream_dedup
     from lsh_qd_spark.streaming.facade import save_progress
 
@@ -132,14 +151,20 @@ def run_streaming(spark, args) -> dict:
     q.awaitTermination()
     save_progress(q, args.checkpoint_dir)
     pages = read_pages(spark, args.input)
+    # write verified FIRST, then cluster the materialized table — the
+    # Jaccard-verify kernel runs exactly once per CLI run
     write_stage(
         sd.verified_pairs(spark, pages, args.text_col, args.id_col),
         _out_ref(args.output, "verified"),
         "overwrite",
     )
+    verified = read_stage(spark, _out_ref(args.output, "verified"))
+    clusters = connected_components(verified)
+    write_stage(clusters, _out_ref(args.output, "clusters"), "overwrite")
+    clusters_m = read_stage(spark, _out_ref(args.output, "clusters"))
     write_stage(
-        sd.clusters(spark, pages, args.text_col, args.id_col),
-        _out_ref(args.output, "clusters"),
+        _survivors(pages, clusters_m, args.id_col, args.text_col),
+        _out_ref(args.output, "survivors"),
         "overwrite",
     )
     return {"mode": args.mode}

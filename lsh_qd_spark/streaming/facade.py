@@ -136,15 +136,30 @@ def save_progress(query, work_dir: str) -> str:
     durations) to ``<work_dir>/metrics/query_progress.json`` — the
     Structured-Streaming-native half of the north rule's per-partition
     lineage + metrics. The incremental mode additionally writes per-epoch
-    shard lineage itself (``IncrementalDedup.record_metrics``)."""
+    shard lineage itself (``IncrementalDedup.record_metrics``).
+
+    ``recentProgress`` is a RING BUFFER (Spark keeps the last
+    ``spark.sql.streaming.numRecentProgressUpdates`` entries, default 100),
+    so this function MERGES with any previously-saved file, keyed by
+    batchId: call it after each ``awaitTermination`` and a long backfill's
+    full history accumulates instead of silently truncating to the tail."""
     import json
     import os
 
     out_dir = os.path.join(work_dir, "metrics")
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "query_progress.json")
+    by_batch: dict = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            by_batch = {p["batchId"]: p for p in json.load(f)}
+    for p in query.recentProgress:
+        d = json.loads(p.json)
+        by_batch[d["batchId"]] = d
     with open(path, "w") as f:
-        json.dump([json.loads(p.json) for p in query.recentProgress], f, indent=2)
+        json.dump(
+            [by_batch[k] for k in sorted(by_batch)], f, indent=2
+        )
     return path
 
 

@@ -160,10 +160,12 @@ class IncrementalDedup:
                 .agg(F.count("*").alias("n"))
                 .collect()
             }
+            # via self.hits(): a batch with zero duplicates writes nothing
+            # readable to hits_dir, and a raw read_stage there raises
+            # UNABLE_TO_INFER_SCHEMA — which would kill the streaming query
+            # from inside foreachBatch. hits() guards the empty-dir case.
             n_hits = (
-                read_stage(spark, self.hits_dir)
-                .where(F.col("epoch") == epoch_id)
-                .count()
+                self.hits(spark).where(F.col("epoch") == epoch_id).count()
             )
             os.makedirs(self.metrics_dir, exist_ok=True)
             with open(

@@ -49,17 +49,20 @@ def main() -> None:
                 SPARK_GRAFT_GATE_SLEEP_BUDGET="240",
                 SPARK_GRAFT_BENCH_DEADLINE="3000",
             )
-            r = subprocess.run(
-                [sys.executable, "bench.py", "--scaling-only"],
-                cwd=REPO,
-                env=env,
-                capture_output=True,
-                timeout=4000,
-            )
-            print(
-                f"scaling run rc={r.returncode} best={best_recorded()}",
-                flush=True,
-            )
+            # a timed-out attempt must not kill the multi-hour watch loop
+            # (first run after a reboot also regenerates the 3M corpus)
+            try:
+                r = subprocess.run(
+                    [sys.executable, "bench.py", "--scaling-only"],
+                    cwd=REPO,
+                    env=env,
+                    capture_output=True,
+                    timeout=4000,
+                )
+                rc = r.returncode
+            except subprocess.TimeoutExpired:
+                rc = "timeout"
+            print(f"scaling run rc={rc} best={best_recorded()}", flush=True)
         else:
             time.sleep(POLL_SEC)
     print("watch deadline reached", flush=True)
