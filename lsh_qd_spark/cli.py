@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-dir", default=None,
                    help="batch: stage-resume dir; streaming: work dir")
     p.add_argument("--include-singletons", action="store_true")
+    p.add_argument(
+        "--extract-html",
+        action="store_true",
+        help="fill missing text from the html column via extract_text "
+        "(JVM regexp chain; batch mode only)",
+    )
     p.add_argument("--plan-only", action="store_true",
                    help="print the clusters physical plan and exit (no write)")
     return p
@@ -121,6 +127,18 @@ def run_batch(spark, args) -> dict:
     from lsh_qd_spark.plans.pipeline import DedupPipeline
 
     pages = read_pages(spark, args.input)
+    if args.extract_html:
+        from pyspark.sql import functions as F
+
+        from lsh_qd_spark.functions.text import extract_text
+
+        # crawl tables routinely carry rows where only the raw capture
+        # exists; extraction is a pure JVM function of the bytes, so the
+        # filled column keeps the input_hint's byte-identical invariant
+        pages = pages.withColumn(
+            args.text_col,
+            F.coalesce(F.col(args.text_col), extract_text(F.col("html"))),
+        )
     pipe = DedupPipeline(make_config(args), checkpoint_dir=args.checkpoint_dir)
     out = pipe.run(
         pages,
@@ -146,6 +164,8 @@ def run_streaming(spark, args) -> dict:
 
     if args.checkpoint_dir is None:
         raise SystemExit("--checkpoint-dir (work dir) required for streaming")
+    if args.extract_html:
+        raise SystemExit("--extract-html is batch-mode only")
     sd = stream_dedup(make_config(args), args.checkpoint_dir, mode=args.mode)
     q = sd.start(spark, args.input)
     q.awaitTermination()

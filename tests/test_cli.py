@@ -61,3 +61,38 @@ def test_cli_plan_only_writes_nothing(spark, tmp_path, capsys):
     main(["--input", src, "--output", out, "--plan-only"])
     assert "Physical Plan" in capsys.readouterr().out
     assert not os.path.exists(out)
+
+
+def test_cli_extract_html_fills_missing_text(spark, tmp_path, capsys):
+    """Rows with only a raw html capture participate in dedup when
+    --extract-html is set: two copies of the same page, one stored as text
+    and one as html-only, land in the same cluster."""
+    body = " ".join(f"tok{i}" for i in range(120))
+    html = f"<html><head><title>x</title></head><body>{body}</body></html>"
+    rows = [
+        (0, "u0", None, None, body, "en"),
+        (1, "u1", None, bytearray(html.encode()), None, "en"),
+        (2, "u2", None, None, "completely different page " * 30, "en"),
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, url string, warc_ts timestamp, html binary, "
+        "text string, lang string",
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    main(
+        [
+            "--input", src,
+            "--output", out,
+            "--extract-html",
+            "--jaccard-threshold", "0.7",
+        ]
+    )
+    capsys.readouterr()
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in spark.read.parquet(f"{out}/clusters").collect()
+    }
+    assert clusters.get(0) == clusters.get(1) == 0
+    assert 2 not in clusters  # different page stays unclustered
