@@ -901,7 +901,103 @@ FROM documents
 """
 
 
+# --- cross-document boilerplate-segment dedup (C4/CCNet-style) -------------
+# The classic training-corpus cleaning step: a text unit repeated across
+# many documents is boilerplate (navigation, legal footers, templates) and
+# is removed from every document. C4 used newline-delimited lines with an
+# occurrence threshold of 3; the driver tables are flat token streams, so
+# the unit here is a fixed non-overlapping SEG_LEN-token window — the
+# operator shape (segment → global document-frequency → flag → account)
+# is identical. Scale: one shuffle keyed by segment string (near-unique
+# keys — no skew; the hot-key analog is bounded because each doc emits
+# only n/SEG_LEN non-overlapping segments), one join back, one per-doc
+# re-aggregation. At 100 TB the segment key would be xxhash64(seg) and the
+# per-doc rebuild would subtract flagged windows; the oracle keys by the
+# segment string itself so both engines agree exactly.
+SEG_LEN = 10
+SEG_BOILER_DF = 3  # C4's "appears in >= 3 documents" rule
+
+
+def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_segments, boiler_segments, kept_tokens): per-document
+    boilerplate accounting under cross-corpus segment dedup."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.coalesce(F.col("text"), F.lit("")))
+    n = F.size(toks)
+    n_seg = F.floor(n / SEG_LEN).cast("int")
+    segs = F.when(
+        n_seg > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * SEG_LEN + 1, SEG_LEN)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select("doc_id", n.alias("_n"), segs.alias("_segs"))
+    exploded = base.select("doc_id", F.explode("_segs").alias("seg"))
+    seg_df = exploded.groupBy("seg").agg(
+        F.countDistinct("doc_id").alias("seg_df")
+    )
+    per_doc = (
+        exploded.join(seg_df, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(
+                F.when(F.col("seg_df") >= SEG_BOILER_DF, 1).otherwise(0)
+            ).alias("boiler_segments"),
+        )
+    )
+    return (
+        base.select("doc_id", "_n")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
+            F.coalesce("boiler_segments", F.lit(0))
+            .cast("long")
+            .alias("boiler_segments"),
+            (
+                F.col("_n")
+                - SEG_LEN * F.coalesce("boiler_segments", F.lit(0))
+            )
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+SQL_BOILERPLATE_SEGMENTS = f"""
+WITH toks AS (SELECT doc_id, coalesce({DUCK_TOKS}, []) AS t FROM documents),
+seglists AS (
+  SELECT doc_id, len(t) AS n,
+         list_transform(range(CAST(len(t) // {SEG_LEN} AS BIGINT)),
+                        i -> array_to_string(
+                               t[i*{SEG_LEN}+1 : i*{SEG_LEN}+{SEG_LEN}], ' '))
+           AS segs
+  FROM toks
+),
+segs AS (SELECT doc_id, unnest(segs) AS seg FROM seglists),
+df AS (SELECT seg, count(DISTINCT doc_id) AS seg_df FROM segs GROUP BY seg),
+perdoc AS (
+  SELECT s.doc_id,
+         count(*) AS n_segments,
+         sum(CASE WHEN d.seg_df >= {SEG_BOILER_DF} THEN 1 ELSE 0 END)
+           AS boiler_segments
+  FROM segs s JOIN df d USING (seg) GROUP BY s.doc_id
+)
+SELECT l.doc_id,
+       CAST(coalesce(p.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(coalesce(p.boiler_segments, 0) AS BIGINT) AS boiler_segments,
+       CAST(l.n - {SEG_LEN} * coalesce(p.boiler_segments, 0) AS BIGINT)
+         AS kept_tokens
+FROM seglists l LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
 SQL_QUERIES: dict[str, str] = {
+    "boilerplate_segments": SQL_BOILERPLATE_SEGMENTS,
     "exact_dup_clusters": SQL_EXACT_DUP,
     "doc_stats": SQL_DOC_STATS,
     "minhash_buckets": SQL_MINHASH_BUCKETS,
@@ -926,6 +1022,7 @@ SQL_QUERIES: dict[str, str] = {
 }
 
 SPARK_QUERIES = {
+    "boilerplate_segments": q_boilerplate_segments,
     "exact_dup_clusters": q_exact_dup_clusters,
     "doc_stats": q_doc_stats,
     "minhash_buckets": q_minhash_buckets,
