@@ -1,0 +1,103 @@
+"""Corpus cleaning: cross-document boilerplate-segment removal.
+
+The transformation half of ``oracle.q_boilerplate_segments`` (which is the
+oracle-checked accounting of the same rule): every fixed-size token window
+that appears in ≥ ``df_threshold`` distinct documents is removed from ALL
+documents carrying it, and each document's text is rebuilt from its
+surviving windows — C4's line-dedup (Raffel et al. 2020, §2.2 "we removed
+any line that occurred more than three times") re-expressed for flat token
+streams.
+
+Scale shape (100 TB):
+- window explosion is narrow (each doc emits ``n/seg_len`` non-overlapping
+  windows — bounded fan-out, unlike overlapping shingles);
+- the document-frequency aggregation is one shuffle keyed by the window;
+  keys are near-unique (boilerplate is by definition the small hot tail),
+  and the ``>= df_threshold`` filter shrinks the flag set to a fraction
+  the join back can often BROADCAST — the common case is exactly that, so
+  the rebuild is one narrow aggregation per doc;
+- rebuild order rides ``posexplode`` indices: no window function, one
+  ``sort_array(collect_list(struct(pos, …)))`` per doc.
+
+Output text is the normalized token join (the same normalization the
+dedup pipeline hashes), so cleaning composes with every downstream
+operator without re-normalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lsh_qd_spark.functions.text import tokens
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    seg_len: int = 10,
+    df_threshold: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_flagged: bool = True,
+) -> DataFrame:
+    """(doc_id, text, removed_segments): corpus with boilerplate windows
+    removed. ``text`` is rebuilt from surviving windows plus the
+    sub-window tail; documents shorter than ``seg_len`` tokens pass
+    through untouched (normalized)."""
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.size(toks)
+    n_seg = F.floor(n / seg_len).cast("int")
+    segs = F.when(
+        n_seg > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * seg_len + 1, seg_len)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tail = F.concat_ws(
+        " ", F.slice(toks, n_seg * seg_len + 1, F.lit(2_000_000_000))
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        segs.alias("_segs"),
+        tail.alias("_tail"),
+    )
+    exploded = base.select(
+        "doc_id", F.posexplode("_segs").alias("pos", "seg")
+    )
+    flagged = (
+        exploded.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("seg_df"))
+        .where(F.col("seg_df") >= df_threshold)
+        .select("seg")
+    )
+    if broadcast_flagged:
+        flagged = F.broadcast(flagged)
+    kept = exploded.join(flagged, "seg", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("pos"), F.col("seg")))
+                ),
+                lambda s: s.seg,
+            ),
+        ).alias("_kept_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    out = (
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.trim(
+                F.concat_ws(
+                    " ", F.coalesce("_kept_text", F.lit("")), F.col("_tail")
+                )
+            ).alias(text_col),
+            (
+                F.size("_segs") - F.coalesce("_n_kept", F.lit(0))
+            ).cast("long").alias("removed_segments"),
+        )
+    )
+    return out
