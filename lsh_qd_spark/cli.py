@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="fill missing text from the html column via extract_text "
         "(JVM regexp chain; batch mode only)",
     )
+    p.add_argument(
+        "--clean-boilerplate",
+        action="store_true",
+        help="remove cross-document boilerplate segments (C4 line-dedup "
+        "rule, operators/clean.py) before dedup — shared navigation/footer "
+        "text otherwise manufactures false near-duplicates; batch mode only",
+    )
     p.add_argument("--plan-only", action="store_true",
                    help="print the clusters physical plan and exit (no write)")
     return p
@@ -139,6 +146,14 @@ def run_batch(spark, args) -> dict:
             args.text_col,
             F.coalesce(F.col(args.text_col), extract_text(F.col("html"))),
         )
+    if args.clean_boilerplate:
+        from pyspark.sql import functions as F
+
+        from lsh_qd_spark.operators.clean import remove_boilerplate
+
+        pages = remove_boilerplate(
+            pages, text_col=args.text_col, id_col=args.id_col
+        ).select(F.col("doc_id").alias(args.id_col), args.text_col)
     pipe = DedupPipeline(make_config(args), checkpoint_dir=args.checkpoint_dir)
     out = pipe.run(
         pages,
@@ -166,6 +181,8 @@ def run_streaming(spark, args) -> dict:
         raise SystemExit("--checkpoint-dir (work dir) required for streaming")
     if args.extract_html:
         raise SystemExit("--extract-html is batch-mode only")
+    if args.clean_boilerplate:
+        raise SystemExit("--clean-boilerplate is batch-mode only")
     sd = stream_dedup(make_config(args), args.checkpoint_dir, mode=args.mode)
     q = sd.start(spark, args.input)
     q.awaitTermination()

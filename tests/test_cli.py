@@ -96,3 +96,38 @@ def test_cli_extract_html_fills_missing_text(spark, tmp_path, capsys):
     }
     assert clusters.get(0) == clusters.get(1) == 0
     assert 2 not in clusters  # different page stays unclustered
+
+
+def test_cli_clean_boilerplate_kills_false_near_dups(spark, tmp_path, capsys):
+    """Shared footer text manufactures near-duplicates out of unrelated
+    pages; --clean-boilerplate removes it so only REAL duplicates cluster."""
+    footer = " ".join(f"nav{i}" for i in range(50))  # 5 shared windows
+    rows = []
+    for d in range(4):  # unrelated pages dominated by the shared footer
+        uniq = " ".join(f"u{d}x{i}" for i in range(10))
+        rows.append((d, f"{footer} {uniq}"))
+    # one REAL duplicate pair with unique long bodies
+    body = " ".join(f"real{i}" for i in range(60))
+    rows += [(10, body), (11, body + " tail tok")]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    def run(extra):
+        out = str(tmp_path / ("out" + str(len(extra))))
+        main(["--input", src, "--output", out,
+              "--jaccard-threshold", "0.6", *extra])
+        capsys.readouterr()
+        return {
+            r["doc_id"]: r["cluster_id"]
+            for r in spark.read.parquet(f"{out}/clusters").collect()
+        }
+
+    dirty = run([])
+    # footer-dominated pages (10 of 40 tokens unique) cluster together
+    assert len({dirty.get(d) for d in range(4)} - {None}) <= 1
+    assert any(d in dirty for d in range(4))
+
+    clean = run(["--clean-boilerplate"])
+    # after cleaning: no false clusters, the real pair still found
+    assert all(d not in clean for d in range(4))
+    assert clean.get(10) == clean.get(11) == 10
