@@ -56,10 +56,16 @@ def _session(cpus: int):
     from lsh_qd_spark.config import RuntimeConfig
     from lsh_qd_spark.session import get_spark
 
+    # 2 shuffle tasks per core at BOTH parallelism levels (the engine's own
+    # RuntimeConfig rule of thumb). With AQE the count is only a ceiling —
+    # but a 1×-per-core ceiling makes every reduce stage straggler-bound:
+    # one hypervisor-stalled core holds 1/cpus of the stage hostage with
+    # nothing for the other cores to steal, which is exactly the regime the
+    # scaling measurement runs in on this shared host.
     return get_spark(
         app_name=f"bench_local{cpus}",
         master=f"local[{cpus}]",
-        runtime=RuntimeConfig(shuffle_partitions=max(8, cpus)),
+        runtime=RuntimeConfig(shuffle_partitions=max(8, 2 * cpus)),
     )
 
 
