@@ -510,10 +510,16 @@ def update_best_scaling(s: dict | None) -> dict | None:
         prev_wg = (best or {}).get("within_grant_best")
         cand_wg = (s or {}).get("within_grant")
         if cand_wg and cand_wg.get("scaling_efficiency_n_to_4n") is not None:
-            if (
-                prev_wg is None
-                or cand_wg["scaling_efficiency_n_to_4n"]
-                > prev_wg["scaling_efficiency_n_to_4n"]
+            # lexicographic (corpus size, efficiency): a larger-corpus
+            # measurement has a LOWER Amdahl floor (fixed stage latency is
+            # a smaller fraction of the run), so it is strictly stronger
+            # evidence — a 3M-page 0.8 beats a 1M-page 0.9
+            if prev_wg is None or (
+                cand_wg.get("n_pages", 0),
+                cand_wg["scaling_efficiency_n_to_4n"],
+            ) > (
+                prev_wg.get("n_pages", 0),
+                prev_wg["scaling_efficiency_n_to_4n"],
             ):
                 prev_wg = dict(cand_wg, recorded_at=now)
                 dirty = True
@@ -546,6 +552,49 @@ def update_best_scaling(s: dict | None) -> dict | None:
             with open(BEST_SCALING_PATH, "w") as f:
                 json.dump(best, f, indent=2)
     return best
+
+
+def within_grant_only(n_docs: int, rounds: int = 3) -> dict:
+    """Standalone within-grant measurement (``--wg-only [n_docs]``):
+    interleaved local[1]/local[4] rounds over ``n_docs`` pages with the
+    same fresh-JVM/median discipline as the primary pair. A 1→4 pair fits
+    a ≥ 4-core grant — the regime this host actually provides — so it
+    measures the engine where the 4→16 pair measures the hypervisor. The
+    result ratchets into best_scaling.json (lexicographic corpus-size,
+    efficiency) and refreshes BASELINE.md from the payload cache."""
+    spark = _session(4)
+    _ensure_corpus(spark, n_docs)
+    spark.stop()
+    ratios, probes, r1s, r4s = [], [], [], []
+    for _ in range(rounds):
+        probes.append(weather_probe())
+        r1 = _run_worker(1, n_trials=1, n_docs=n_docs, tag="_wg")
+        r4 = _run_worker(4, n_trials=1, n_docs=n_docs, tag="_wg")
+        r1s.append(r1["sec"])
+        r4s.append(r4["sec"])
+        ratios.append((r1["sec"] / r4["sec"]) / 4)
+    wg = {
+        "note": "standalone within-grant pair (--wg-only); fits a ≥4-core grant",
+        "n_pages": n_docs,
+        "cpus_n": 1,
+        "cpus_4n": 4,
+        "n_sec": round(_median(r1s), 2),
+        "4n_sec": round(_median(r4s), 2),
+        "scaling_efficiency_n_to_4n": round(_median(ratios), 3),
+        "round_ratios": [round(r, 3) for r in ratios],
+        "round_probes": probes,
+    }
+    best = update_best_scaling({"within_grant": wg})
+    cache = os.path.join(REPO, "BENCH", "payload.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            payload = json.load(f)
+        payload["scaling_best_recorded"] = best
+        with open(cache, "w") as f:
+            json.dump(payload, f, indent=2)
+        write_bench_md(payload)
+    print(json.dumps(wg))
+    return wg
 
 
 def _trial_rows() -> list[str]:
@@ -649,9 +698,22 @@ def write_bench_md(payload: dict) -> None:
                 f"local[{b['within_grant_best'].get('cpus_4n')}] at "
                 f"{b['within_grant_best'].get('n_pages')} pages "
                 f"({b['within_grant_best'].get('n_sec')}s → "
-                f"{b['within_grant_best'].get('4n_sec')}s), probe "
-                f"{(b['within_grant_best'].get('probe') or {}).get('effective_cores')} "
-                f"effective cores, recorded "
+                f"{b['within_grant_best'].get('4n_sec')}s), probe(s) "
+                + (
+                    str(
+                        [
+                            p.get("effective_cores")
+                            for p in b["within_grant_best"]["round_probes"]
+                        ]
+                    )
+                    if b["within_grant_best"].get("round_probes")
+                    else str(
+                        (b["within_grant_best"].get("probe") or {}).get(
+                            "effective_cores"
+                        )
+                    )
+                )
+                + " effective cores, recorded "
                 f"{b['within_grant_best'].get('recorded_at')}.",
                 "",
             ]
@@ -708,6 +770,15 @@ def main() -> None:
         n_trials = int(sys.argv[4]) if len(sys.argv) >= 5 else None
         n_docs = int(sys.argv[5]) if len(sys.argv) >= 6 else None
         worker(int(sys.argv[2]), sys.argv[3], n_trials, n_docs)
+        return
+    if "--wg-only" in sys.argv:
+        i = sys.argv.index("--wg-only")
+        n_docs = (
+            int(sys.argv[i + 1])
+            if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit()
+            else BENCH_DOCS
+        )
+        within_grant_only(n_docs)
         return
     skip_scaling = "--skip-scaling" in sys.argv
     # --scaling-only: redo ONLY the scaling rounds, reusing the last run's
