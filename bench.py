@@ -28,6 +28,7 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -65,8 +66,38 @@ def _session(cpus: int):
     return get_spark(
         app_name=f"bench_local{cpus}",
         master=f"local[{cpus}]",
-        runtime=RuntimeConfig(shuffle_partitions=max(8, 2 * cpus)),
+        runtime=RuntimeConfig(
+            shuffle_partitions=max(8, 2 * cpus),
+            # UI on in bench sessions only: its REST status API is the
+            # achieved-concurrency instrument (negligible overhead at
+            # minute-scale jobs; sessions elsewhere keep it off)
+            extra_confs={"spark.ui.enabled": "true"},
+        ),
     )
+
+
+def _task_seconds(spark) -> float | None:
+    """Cumulative executor task time (seconds) from the local REST status
+    API — the host-independent half of the scaling instrument. Wall-clock
+    measures the host's grant; task-seconds / wall = how many task slots
+    the ENGINE kept busy. If local[16] sustains ~16 while wall inflates,
+    the inefficiency is hypervisor steal, not the plan."""
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return None
+        with urllib.request.urlopen(f"{base}/api/v1/applications", timeout=5) as r:
+            apps = json.load(r)
+        app_id = apps[0]["id"]
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages?status=complete", timeout=10
+        ) as r:
+            stages = json.load(r)
+        return sum(s.get("executorRunTime", 0) for s in stages) / 1000.0
+    except Exception:  # noqa: BLE001 — instrument, never fails the bench
+        return None
 
 
 def _bench_pages_path(n_docs: int) -> str:
@@ -93,19 +124,29 @@ def _ensure_corpus(spark, n_docs: int) -> str:
     return path
 
 
-def run_dedup_job(spark, pages_path: str) -> tuple[int, float]:
+def run_dedup_job(spark, pages_path: str) -> tuple[int, float, float | None]:
     """The timed unit: read → shingle → sign → band → pairs → verify →
-    cluster → count. Returns (n_pages, seconds)."""
+    cluster → count. Returns (n_pages, wall_seconds, achieved_concurrency)
+    where achieved_concurrency = executor-task-seconds / wall-seconds over
+    the timed window (None when the status API is unavailable)."""
     from lsh_qd_spark.config import DedupConfig
     from lsh_qd_spark.plans.pipeline import DedupPipeline
 
     pages = spark.read.parquet(pages_path)
     n_pages = pages.count()
     pipe = DedupPipeline(DedupConfig(**BENCH_CFG))
+    task_before = _task_seconds(spark)
     t0 = time.time()
     out = pipe.run(pages)
     out["clusters"].count()
-    return n_pages, time.time() - t0
+    wall = time.time() - t0
+    task_after = _task_seconds(spark) if task_before is not None else None
+    conc = (
+        round((task_after - task_before) / wall, 2)
+        if task_after is not None
+        else None
+    )
+    return n_pages, wall, conc
 
 
 def headline_queries(spark) -> dict[str, float]:
@@ -294,10 +335,13 @@ def worker(
     # ratio when the slow point is interference-bound; median is the
     # believable central tendency on a shared host)
     secs: list[float] = []
+    concs: list[float] = []
     n_pages = 0
     for _ in range(n_trials or SCALE_TRIALS):
-        n_pages, s = run_dedup_job(spark, path)
+        n_pages, s, conc = run_dedup_job(spark, path)
         secs.append(s)
+        if conc is not None:
+            concs.append(conc)
     with open(out_path, "w") as f:
         json.dump(
             {
@@ -305,6 +349,7 @@ def worker(
                 "n_pages": n_pages,
                 "sec": _median(secs),
                 "trials": secs,
+                "achieved_concurrency": _median(concs) if concs else None,
             },
             f,
         )
@@ -362,6 +407,7 @@ def run_scaling(deadline: float | None = None) -> dict:
     """
     n, n4 = SCALE_CPUS
     trials: dict[int, list[float]] = {c: [] for c in SCALE_CPUS}
+    concs: dict[int, list[float]] = {c: [] for c in SCALE_CPUS}
     ratios: list[float] = []
     probes: list[dict] = []
     n_pages = BENCH_DOCS
@@ -371,6 +417,7 @@ def run_scaling(deadline: float | None = None) -> dict:
         secs = {}  # trials[] updated only after BOTH legs succeed — a
         # failed 4N leg must not leave an orphan N measurement skewing
         # the reported medians for a round that produced no ratio
+        round_concs = {}
         round_probe = None
         for cpus in SCALE_CPUS:
             if cpus == n4:
@@ -385,9 +432,12 @@ def run_scaling(deadline: float | None = None) -> dict:
                 round_probe = wait_for_weather()
             r = _run_worker(cpus, n_trials=1, n_docs=SCALE_DOCS)
             secs[cpus] = r["sec"]
+            round_concs[cpus] = r.get("achieved_concurrency")
             n_pages = r["n_pages"]
         for cpus in SCALE_CPUS:
             trials[cpus].append(secs[cpus])
+            if round_concs.get(cpus) is not None:
+                concs[cpus].append(round_concs[cpus])
         probes.append(round_probe or weather_probe())
         ratios.append((secs[n] / secs[n4]) / (n4 / n))
 
@@ -436,6 +486,12 @@ def run_scaling(deadline: float | None = None) -> dict:
         "scaling_efficiency_n_to_4n": round(_median(ratios), 3),
         "round_ratios": [round(r, 3) for r in ratios],
         "round_probes": probes,
+        # achieved task concurrency (executor-task-sec / wall-sec, median
+        # across rounds): the host-independent scaling instrument — ~cpus
+        # at both levels means the ENGINE filled every granted slot and
+        # any wall-clock ratio shortfall is the host's grant, not the plan
+        "n_achieved_concurrency": _median(concs[n]) if concs[n] else None,
+        "4n_achieved_concurrency": _median(concs[n4]) if concs[n4] else None,
     }
     # Within-grant fallback pair: when EVERY primary round ran under a bad
     # grant (host giving < PROBE_MIN_CORES of the 4N request), the 4→16
@@ -467,6 +523,8 @@ def run_scaling(deadline: float | None = None) -> dict:
                 "scaling_efficiency_n_to_4n": round(
                     (r1["sec"] / r4["sec"]) / (f4 / fn), 3
                 ),
+                "n_achieved_concurrency": r1.get("achieved_concurrency"),
+                "4n_achieved_concurrency": r4.get("achieved_concurrency"),
                 "probe": weather_probe(),
             }
         except (RuntimeError, subprocess.TimeoutExpired) as e:
@@ -566,12 +624,16 @@ def within_grant_only(n_docs: int, rounds: int = 3) -> dict:
     _ensure_corpus(spark, n_docs)
     spark.stop()
     ratios, probes, r1s, r4s = [], [], [], []
+    c1s, c4s = [], []
     for _ in range(rounds):
         probes.append(weather_probe())
         r1 = _run_worker(1, n_trials=1, n_docs=n_docs, tag="_wg")
         r4 = _run_worker(4, n_trials=1, n_docs=n_docs, tag="_wg")
         r1s.append(r1["sec"])
         r4s.append(r4["sec"])
+        for rr, acc in ((r1, c1s), (r4, c4s)):
+            if rr.get("achieved_concurrency") is not None:
+                acc.append(rr["achieved_concurrency"])
         ratios.append((r1["sec"] / r4["sec"]) / 4)
     wg = {
         "note": "standalone within-grant pair (--wg-only); fits a ≥4-core grant",
@@ -583,6 +645,8 @@ def within_grant_only(n_docs: int, rounds: int = 3) -> dict:
         "scaling_efficiency_n_to_4n": round(_median(ratios), 3),
         "round_ratios": [round(r, 3) for r in ratios],
         "round_probes": probes,
+        "n_achieved_concurrency": _median(c1s) if c1s else None,
+        "4n_achieved_concurrency": _median(c4s) if c4s else None,
     }
     best = update_best_scaling({"within_grant": wg})
     cache = os.path.join(REPO, "BENCH", "payload.json")
@@ -632,6 +696,23 @@ def write_bench_md(payload: dict) -> None:
         " per the driver instruction). Median of per-round paired ratios: "
         f"`{s.get('round_ratios')}`.",
         "",
+        *(
+            [
+                "**Achieved task concurrency (host-independent instrument):** "
+                f"local[{s.get('cpus_n')}] kept "
+                f"{s.get('n_achieved_concurrency')} task-slots busy, "
+                f"local[{s.get('cpus_4n')}] kept "
+                f"{s.get('4n_achieved_concurrency')} "
+                "(executor-task-seconds ÷ wall-seconds via the Spark status "
+                "API, median across rounds). A 4N leg that sustains ~4N "
+                "busy slots while the wall-clock ratio falls short "
+                "localizes the shortfall in the host's core grant, not the "
+                "engine's plan.",
+                "",
+            ]
+            if s.get("n_achieved_concurrency") is not None
+            else []
+        ),
         *(
             [
                 "**Best recorded run (any window, BENCH/best_scaling.json): "
@@ -765,6 +846,45 @@ def write_bench_md(payload: dict) -> None:
         f.write("\n".join(lines) + "\n")
 
 
+# --- hard-deadline watchdog --------------------------------------------------
+# Round-2 post-mortem: the driver's bench budget is finite and a starved
+# host can stall ANY Spark stage indefinitely — phase deadlines only help
+# between phases. The watchdog guarantees the contract the driver needs
+# (ONE parseable JSON line, rc=0) unconditionally: at HARD_DEADLINE it
+# prints the latest payload snapshot (whatever phases completed, flagged
+# "timed_out": true) and exits 0. Normal completion disarms it.
+HARD_DEADLINE_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_HARD_DEADLINE", "3000"))
+_done = threading.Event()
+_latest_payload: dict = {}
+
+
+def _arm_watchdog(t_start: float) -> None:
+    def fire() -> None:
+        if _done.wait(timeout=max(0.0, t_start + HARD_DEADLINE_SEC - time.time())):
+            return  # normal completion
+        _latest_payload.setdefault("metric", "total_bench_sec")
+        _latest_payload.setdefault("unit", "sec")
+        _latest_payload["value"] = round(time.time() - t_start, 2)
+        _latest_payload["timed_out"] = True
+        _emit(_latest_payload, t_start)
+        os._exit(0)
+
+    threading.Thread(target=fire, daemon=True, name="bench-watchdog").start()
+
+
+def _emit(payload: dict, t_start: float) -> None:
+    """Single exit path for the printed JSON contract (main + watchdog)."""
+    cache = os.path.join(REPO, "BENCH", "payload.json")
+    try:
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        with open(cache, "w") as f:
+            json.dump(payload, f, indent=2)
+    except OSError as e:
+        sys.stderr.write(f"payload cache write failed: {e}\n")
+    sys.stdout.write(json.dumps(payload) + "\n")
+    sys.stdout.flush()
+
+
 def main() -> None:
     if len(sys.argv) >= 4 and sys.argv[1] == "--worker":
         n_trials = int(sys.argv[4]) if len(sys.argv) >= 5 else None
@@ -798,6 +918,10 @@ def main() -> None:
             os.remove(path)
 
     t_start = time.time()
+    _arm_watchdog(t_start)
+    _latest_payload.update(
+        {"metric": "total_bench_sec", "unit": "sec", "queries": {}, "sf": SF_DIR}
+    )
     if scaling_only:
         with open(payload_cache) as f:
             prev = json.load(f)
@@ -810,18 +934,36 @@ def main() -> None:
     else:
         spark = _session(CPUS)
         times = headline_queries(spark)
+        _latest_payload["queries"] = times
         _ensure_corpus(spark, BENCH_DOCS)
         spark.stop()
 
         # headline dedup throughput at local[CPUS]: same fresh-JVM +
-        # warm-up + median-of-N discipline as the scaling workers
-        head = _run_worker(CPUS)
-        n_pages = head["n_pages"]
-        times["dedup_bench_corpus"] = round(head["sec"], 3)
-        pages_per_sec = round(n_pages / head["sec"], 1)
+        # warm-up + median-of-N discipline as the scaling workers.
+        # Degrade rather than die: a starved host can push 3 trials of
+        # the 3M-page job past the worker timeout — fall back to a single
+        # trial, then to reporting the phase as absent (nulls are honest;
+        # rc!=0 loses the whole artifact).
+        head = None
+        try:
+            head = _run_worker(CPUS)
+        except (RuntimeError, subprocess.TimeoutExpired) as e:
+            sys.stderr.write(f"headline worker failed ({e}); 1-trial retry\n")
+            try:
+                head = _run_worker(CPUS, n_trials=1)
+            except (RuntimeError, subprocess.TimeoutExpired) as e2:
+                sys.stderr.write(f"headline worker retry failed: {e2}\n")
+        if head is not None:
+            n_pages = head["n_pages"]
+            times["dedup_bench_corpus"] = round(head["sec"], 3)
+            pages_per_sec = round(n_pages / head["sec"], 1)
+        else:
+            n_pages = BENCH_DOCS
+            times["dedup_bench_corpus"] = None
+            pages_per_sec = None
 
     def make_payload(scaling: dict | None) -> dict:
-        return {
+        p = {
             "metric": "total_bench_sec",
             "value": round(time.time() - t_start, 2),
             "unit": "sec",
@@ -832,6 +974,9 @@ def main() -> None:
             "scaling": scaling,
             "scaling_best_recorded": update_best_scaling(scaling),
         }
+        _latest_payload.clear()
+        _latest_payload.update(p)
+        return p
 
     # Write the headline payload BEFORE the scaling phase (round-2 lesson:
     # the driver bench timed out and left NO parseable artifact). If the
@@ -845,8 +990,13 @@ def main() -> None:
         # Internal deadline so the process always exits with a printed
         # JSON line well inside the driver's bench budget, even when the
         # host is granting 2 of 16 cores and every trial runs long.
+        # phase deadline sits 10 min inside HARD_DEADLINE so a last round
+        # that overruns its estimate still finishes before the watchdog
+        # would discard its ratios
         deadline = t_start + int(
-            os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "2700")
+            os.environ.get(
+                "SPARK_GRAFT_BENCH_DEADLINE", str(max(600, HARD_DEADLINE_SEC - 600))
+            )
         )
         try:
             scaling = run_scaling(deadline=deadline)
@@ -854,10 +1004,9 @@ def main() -> None:
             sys.stderr.write(f"scaling phase failed: {e}\n")
 
     payload = make_payload(scaling)
-    with open(payload_cache, "w") as f:
-        json.dump(payload, f, indent=2)
+    _done.set()  # disarm the watchdog before the normal single emit
     write_bench_md(payload)
-    print(json.dumps(payload))
+    _emit(payload, t_start)
 
 
 if __name__ == "__main__":

@@ -141,3 +141,40 @@ def test_save_progress_merges_ring_buffer(tmp_path):
         got = json.load(f)
     assert [p["batchId"] for p in got] == [0, 1, 2]
     assert sum(p["numInputRows"] for p in got) == 60
+
+
+def test_watchdog_emits_partial_payload_and_exits_zero(
+    monkeypatch, capsys, tmp_path
+):
+    """The hard-deadline watchdog is the driver-contract backstop: past
+    HARD_DEADLINE it must print ONE parseable JSON line (whatever phases
+    completed, flagged timed_out) and exit 0 — never rc=124/parsed-null
+    (the round-2 failure)."""
+    import os
+    import time
+
+    exited = []
+    monkeypatch.setattr(bench.os, "_exit", lambda code: exited.append(code))
+    monkeypatch.setattr(bench, "HARD_DEADLINE_SEC", 0)
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    bench._done.clear()
+    bench._latest_payload.clear()
+    bench._latest_payload.update({"queries": {"q1": 1.0}})
+    bench._arm_watchdog(time.time() - 1)
+    for _ in range(100):
+        if exited:
+            break
+        time.sleep(0.05)
+    assert exited == [0]
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["timed_out"] is True
+    assert line["queries"] == {"q1": 1.0}
+    assert line["metric"] == "total_bench_sec" and "value" in line
+    # the payload cache carries the same partial snapshot
+    assert os.path.exists(tmp_path / "BENCH" / "payload.json")
+    # normal completion disarms the watchdog entirely
+    exited.clear()
+    bench._done.set()
+    bench._arm_watchdog(time.time() - 1)
+    time.sleep(0.3)
+    assert exited == []
