@@ -47,6 +47,12 @@ class DedupConfig:
     # oversized buckets are capped + star-paired instead (operators/pairs),
     # and AQE skew-join covers the residual joins (session.py).
     min_exact_overlap: int = 50  # suffix-array exact-overlap threshold (chars)
+    # how verify fetches candidate text: 'auto' counts candidate ids and
+    # broadcasts them (one corpus scan, zero corpus shuffle) when ≤
+    # verify_broadcast_ids_cap, else falls back to the two-sided shuffle
+    # join (the 10^12-doc shape — see operators/verify.verify_pairs_text)
+    verify_fetch: str = "auto"
+    verify_broadcast_ids_cap: int = 1_000_000
 
     @property
     def num_hashes(self) -> int:

@@ -31,6 +31,8 @@ def verify_pairs_text(
     shingle_k: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fetch: str = "auto",
+    broadcast_ids_cap: int = 1_000_000,
 ) -> DataFrame:
     """Jaccard verify straight from text — the production path.
 
@@ -41,6 +43,28 @@ def verify_pairs_text(
     Avoids materializing/caching any corpus- or candidate-wide shingle
     column — the stage that profiling showed does not scale (cache-write
     contention on ~1 GB of array data).
+
+    ``fetch`` picks how candidate text reaches the kernel:
+
+    - ``"broadcast_ids"``: semi-join the corpus against the broadcast
+      candidate-id set, localCheckpoint the surviving (id, text) rows, and
+      broadcast THEM into both pair joins. The corpus is scanned exactly
+      once and never shuffled — profiling showed the shuffle path's two
+      full scans + two corpus shuffles were the single largest cost of the
+      dedup job. Right whenever candidates are a small fraction of the
+      corpus (the normal dedup regime).
+    - ``"shuffle"``: plain two-sided equi-joins (sort-merge at scale).
+      Right when candidates are a large fraction of a huge corpus — at
+      10^12 docs with 10^9+ candidate ids neither the id set nor the
+      candidate texts are broadcastable, and pre-bucketing the corpus by
+      id (lsh_qd_spark.io bucketed tables) makes this path shuffle-free
+      on the docs side.
+    - ``"auto"`` (default): count distinct candidate ids (cheap when
+      ``pairs`` is persisted — the pipeline persists it) and pick
+      broadcast_ids iff the count ≤ ``broadcast_ids_cap``. The cap bounds
+      BOTH broadcasts: the id set (8B/row) and the checkpointed candidate
+      texts (~300B/row → ~300MB at the default cap; size the cap to the
+      driver/executor memory budget).
     """
     import numpy as np
     import pandas as pd
@@ -48,10 +72,36 @@ def verify_pairs_text(
     from lsh_qd_spark.functions.fast_shingle import shingle_set
 
     t = docs.select(F.col(id_col).alias("_vid"), F.col(text_col).alias("_vtx"))
+    if fetch not in ("auto", "broadcast_ids", "shuffle"):
+        raise ValueError(f"unknown fetch mode: {fetch!r}")
+    ids = (
+        pairs.select(F.col("id_a").alias("_vid"))
+        .union(pairs.select(F.col("id_b").alias("_vid")))
+        .distinct()
+    )
+    if fetch == "auto":
+        # one small aggregate job over (ideally persisted) pairs — nothing
+        # corpus-sized runs and nothing collects beyond the single count
+        n_ids = ids.count()
+        fetch = "broadcast_ids" if n_ids <= broadcast_ids_cap else "shuffle"
+    if fetch == "broadcast_ids":
+        # eager localCheckpoint: BOTH pair joins consume t — without it the
+        # corpus scan + semi-join would re-run per side. Blocks are
+        # reference-tracked (freed with the plan), lineage is truncated.
+        t = t.join(F.broadcast(ids), "_vid", "left_semi").localCheckpoint(
+            eager=True
+        )
+
+    def side(alias: str):
+        s = t.withColumnRenamed("_vid", alias)
+        # hint applied per join side (a hint wrapped under later
+        # projections is not guaranteed to survive resolution)
+        return F.broadcast(s) if fetch == "broadcast_ids" else s
+
     joined = (
-        pairs.join(t.withColumnRenamed("_vid", "id_a"), "id_a")
+        pairs.join(side("id_a"), "id_a")
         .withColumnRenamed("_vtx", "_tx_a")
-        .join(t.withColumnRenamed("_vid", "id_b"), "id_b")
+        .join(side("id_b"), "id_b")
         .withColumnRenamed("_vtx", "_tx_b")
     )
     pair_cols = list(pairs.columns)  # plain strings: safe to close over

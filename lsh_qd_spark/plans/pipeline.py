@@ -285,6 +285,8 @@ class DedupPipeline:
                     self.config.shingle_k,
                     id_col=id_col,
                     text_col=text_col,
+                    fetch=self.config.verify_fetch,
+                    broadcast_ids_cap=self.config.verify_broadcast_ids_cap,
                 ),
             )
             # lazy, unmaterialized — for callers that want the sets
