@@ -168,6 +168,14 @@ def candidate_pairs(
         )
         if large_pairs is None:
             return counted
+        # `counted` appears twice below (union left branch + the star
+        # anti-join's right side); column pruning canonicalizes the two
+        # subplans differently, so exchange reuse does NOT kick in and the
+        # whole members-shuffle → pair-agg chain executes twice (measured:
+        # 2x the pairs task time at 300k pages). Eager localCheckpoint
+        # materializes it once — blocks are reference-tracked, and the
+        # checkpointed set is small (post-alpha pairs, not bucket rows).
+        counted = counted.localCheckpoint(eager=True)
         stars = large_pairs.join(
             counted.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
         ).select(
@@ -199,6 +207,8 @@ def candidate_pairs(
         .where(F.col("n_bands") >= alpha)
         .withColumn("via_star", F.lit(False))
     )
+    # same double-execution hazard as the two-phase branch above
+    counted = counted.localCheckpoint(eager=True)
     stars = large_pairs.join(
         counted.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
     ).select(
