@@ -56,7 +56,55 @@ def shingle_set(text: str | None, k: int) -> np.ndarray | None:
 
 
 def shingle_sets(texts, k: int) -> list:
-    return [shingle_set(t, k) for t in texts]
+    """Batched ``shingle_set`` over a whole Arrow batch — output-identical
+    to ``[shingle_set(t, k) for t in texts]``, ~25% faster (measured on
+    synth pages, 140 tokens/doc):
+
+    - one flat token array for the batch; each UNIQUE token is crc32-hashed
+      once (``pd.factorize``; web text is Zipfian — ~4% unique tokens per
+      10k-doc batch) and integer codes map hashes back to positions;
+    - the k-gram rolling hash runs ONCE over the concatenated hash array;
+      windows that would cross a document boundary exist in the window
+      array but are never sliced back out, so results are per-document
+      exact;
+    - per-doc ``np.unique`` keeps the set semantics (a global sort was
+      measured slower).
+    """
+    toks_list = [t.lower().split() if t else [] for t in texts]
+    n_docs = len(toks_list)
+    lens = np.fromiter((len(t) for t in toks_list), np.int64, count=n_docs)
+    out: list = [None] * n_docs
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for tk in toks_list:
+        flat[pos : pos + len(tk)] = tk
+        pos += len(tk)
+    codes, uniq = pd.factorize(flat)
+    uh = np.fromiter(
+        (zlib.crc32(u.encode()) for u in uniq), np.uint64, count=len(uniq)
+    )
+    c = uh[codes]
+    starts = np.zeros(n_docs, np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    if total >= k:
+        acc = np.zeros(total - k + 1, dtype=np.uint64)
+        for j in range(k):
+            acc = acc * _B + c[j : total - k + 1 + j]
+        for i in np.nonzero(lens >= k)[0]:
+            s = starts[i]
+            out[i] = np.unique(acc[s : s + lens[i] - k + 1])
+    # short documents (0 < n < k) take one shingle over all n tokens — the
+    # scalar path's m = min(n, k) case, run per doc (rare in web text)
+    for i in np.nonzero((lens > 0) & (lens < k))[0]:
+        seg = c[starts[i] : starts[i] + lens[i]]
+        a = np.zeros(1, dtype=np.uint64)
+        for j in range(int(lens[i])):
+            a = a * _B + seg[j : j + 1]
+        out[i] = a
+    return out
 
 
 def make_text_minhash_udf(num_hashes: int, k: int, seed: int = 42):
