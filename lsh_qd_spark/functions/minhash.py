@@ -96,8 +96,21 @@ def minhash_matrix(
     reduced = np.empty((len(arrays), num_hashes), dtype=np.int64)
     # Per-hash 1-D loop: ~30x faster than the broadcasted 2-D multiply
     # (contiguous temporaries, no (n_shingles x n_hashes) materialization).
+    # shift-add reduction needs nonneg inputs bounded by the config.py
+    # analysis — guaranteed only after the reduce_mod pre-reduction
+    mersenne = p == MERSENNE_P and reduce_mod is not None
     for j in range(num_hashes):
-        col = (flat * a[j] + b[j]) % p
+        if mersenne:
+            # y < 2^31 * 2^31 + 2^61 < 2^63 (config.py bounds), so the
+            # int64 product is exact and y % (2^61-1) reduces to
+            # (y>>61)+(y&p) with one conditional subtract — identical
+            # value to `%`, ~10% faster (no 64-bit division).
+            y = flat * a[j]
+            y += b[j]
+            col = (y >> 61) + (y & p)
+            np.subtract(col, p, out=col, where=col >= p)
+        else:
+            col = (flat * a[j] + b[j]) % p
         reduced[:, j] = np.minimum.reduceat(col, ne_offsets)
     out[nonempty] = reduced
     return out
