@@ -25,6 +25,7 @@ Run `python bench.py` (the driver does). `--skip-scaling` for quick loops.
 from __future__ import annotations
 
 import json
+import math
 import os
 import subprocess
 import sys
@@ -280,9 +281,15 @@ def weather_probe(n_threads: int = PROBE_THREADS) -> dict:
         return float(acc[0])
 
     unit()  # warm (allocator, cpu governor)
-    t0 = time.time()
-    unit()
-    serial = time.time() - t0
+    # min-of-3: the serial leg is itself schedulable, and one starved run
+    # inflates `serial` and with it effective_cores (a >n_threads reading
+    # was observed when the single serial run got descheduled). min is
+    # correct here — we want the unit's true cost on a granted core.
+    serial = math.inf
+    for _ in range(3):
+        t0 = time.time()
+        unit()
+        serial = min(serial, time.time() - t0)
     t0 = time.time()
     with ThreadPoolExecutor(n_threads) as ex:
         list(ex.map(lambda _: unit(), range(n_threads)))

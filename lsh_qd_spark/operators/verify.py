@@ -69,7 +69,7 @@ def verify_pairs_text(
     import numpy as np
     import pandas as pd
 
-    from lsh_qd_spark.functions.fast_shingle import shingle_set
+    from lsh_qd_spark.functions.fast_shingle import shingle_sets
 
     t = docs.select(F.col(id_col).alias("_vid"), F.col(text_col).alias("_vtx"))
     if fetch not in ("auto", "broadcast_ids", "shuffle"):
@@ -111,27 +111,39 @@ def verify_pairs_text(
     schema = ", ".join(schema_parts + ["jaccard double"])
 
     def kernel(batches):
+        empty = np.empty(0, np.uint64)
         for pdf in batches:
-            memo: dict = {}
-
-            def sset(doc_id, text):
-                s = memo.get(doc_id)
-                if s is None:
-                    s = shingle_set(text, shingle_k)
-                    memo[doc_id] = s if s is not None else np.empty(0, np.uint64)
-                return memo[doc_id]
-
+            # Batch-dedup candidate docs, then shingle them in ONE batched
+            # kernel call: cluster members appear in many pairs, and the
+            # batched kernel (fast_shingle.shingle_sets) factorizes tokens
+            # once across every doc in the Arrow batch instead of hashing
+            # per scalar call.
+            ids = pd.concat([pdf["id_a"], pdf["id_b"]], ignore_index=True)
+            txts = pd.concat([pdf["_tx_a"], pdf["_tx_b"]], ignore_index=True)
+            keep = ~ids.duplicated().to_numpy()
+            sets = shingle_sets(list(txts[keep]), shingle_k)
+            memo = {
+                i: (empty if s is None else s)
+                for i, s in zip(ids[keep], sets)
+            }
             jac = np.empty(len(pdf), dtype=np.float64)
-            ids_a = pdf["id_a"].to_numpy()
-            ids_b = pdf["id_b"].to_numpy()
-            for i, (ia, ib, ta, tb) in enumerate(
-                zip(ids_a, ids_b, pdf["_tx_a"], pdf["_tx_b"])
+            for i, (ia, ib) in enumerate(
+                zip(pdf["id_a"].to_numpy(), pdf["id_b"].to_numpy())
             ):
-                sa, sb = sset(ia, ta), sset(ib, tb)
+                sa, sb = memo[ia], memo[ib]
                 if len(sa) == 0 or len(sb) == 0:
                     jac[i] = 0.0
                     continue
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                if len(sa) > len(sb):
+                    sa, sb = sb, sa
+                # both sorted+unique (np.unique output): membership of the
+                # smaller in the larger via one searchsorted — O(m log n)
+                # vs intersect1d's O((m+n) log(m+n)) concat-sort
+                idx = np.searchsorted(sb, sa)
+                # position len(sb) means "greater than every element"; any
+                # in-range slot is safe to compare (sb[0] < that element)
+                idx[idx == len(sb)] = 0
+                inter = int(np.count_nonzero(sb[idx] == sa))
                 jac[i] = inter / (len(sa) + len(sb) - inter)
             out = pdf[pair_cols].copy()
             out["jaccard"] = jac
