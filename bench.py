@@ -571,10 +571,22 @@ def update_best_scaling(s: dict | None) -> dict | None:
         dirty = False
         # the within-grant pair (sized to FIT the host's granted cores) is
         # ratcheted independently of the primary 4->16 pair: a contended
-        # run can carry the best within-grant evidence and vice versa
-        prev_wg = (best or {}).get("within_grant_best")
+        # run can carry the best within-grant evidence and vice versa.
+        # Each cpu pair gets its OWN slot (1->4 in the legacy key,
+        # 2->8 etc. suffixed) — a 2->8 pair at lower efficiency is not
+        # comparable to a 1->4 pair, it is separate (stronger-parallelism)
+        # evidence and must not be gated by the 1->4 record.
         cand_wg = (s or {}).get("within_grant")
+        wg_slot = None
+        prev_wg = None
         if cand_wg and cand_wg.get("scaling_efficiency_n_to_4n") is not None:
+            pair = (cand_wg.get("cpus_n", 1), cand_wg.get("cpus_4n", 4))
+            wg_slot = (
+                "within_grant_best"
+                if pair == (1, 4)
+                else f"within_grant_best_{pair[0]}x{pair[1]}"
+            )
+            prev_wg = (best or {}).get(wg_slot)
             # lexicographic (corpus size, efficiency): a larger-corpus
             # measurement has a LOWER Amdahl floor (fixed stage latency is
             # a smaller fraction of the run), so it is strictly stronger
@@ -599,19 +611,22 @@ def update_best_scaling(s: dict | None) -> dict | None:
                 or s["scaling_efficiency_n_to_4n"]
                 > best["scaling_efficiency_n_to_4n"]
             ):
-                keep_wg = (best or {}).get("within_grant_best")
+                keep_wg = {
+                    k: v
+                    for k, v in (best or {}).items()
+                    if k.startswith("within_grant_best")
+                }
                 best = dict(s)
                 best.pop("within_grant", None)
-                if keep_wg is not None:
-                    best["within_grant_best"] = keep_wg
+                best.update(keep_wg)
                 best["recorded_at"] = now
                 dirty = True
-        if prev_wg is not None:
+        if wg_slot is not None and prev_wg is not None:
             if best is None:
                 # within-grant evidence can precede any eligible primary run
                 best = {}
-            if best.get("within_grant_best") != prev_wg:
-                best["within_grant_best"] = prev_wg
+            if best.get(wg_slot) != prev_wg:
+                best[wg_slot] = prev_wg
                 dirty = True
         if dirty and best is not None:
             with open(BEST_SCALING_PATH, "w") as f:
@@ -619,14 +634,21 @@ def update_best_scaling(s: dict | None) -> dict | None:
     return best
 
 
-def within_grant_only(n_docs: int, rounds: int = 3) -> dict:
-    """Standalone within-grant measurement (``--wg-only [n_docs]``):
-    interleaved local[1]/local[4] rounds over ``n_docs`` pages with the
-    same fresh-JVM/median discipline as the primary pair. A 1→4 pair fits
-    a ≥ 4-core grant — the regime this host actually provides — so it
-    measures the engine where the 4→16 pair measures the hypervisor. The
-    result ratchets into best_scaling.json (lexicographic corpus-size,
-    efficiency) and refreshes BASELINE.md from the payload cache."""
+def within_grant_only(
+    n_docs: int, rounds: int = 3, cpus: tuple[int, int] = (1, 4)
+) -> dict:
+    """Standalone within-grant measurement (``--wg-only [n_docs] [N:4N]``):
+    interleaved local[N]/local[4N] rounds over ``n_docs`` pages with the
+    same fresh-JVM/median discipline as the primary pair. The pair is
+    sized to fit the cores the host actually grants (default 1→4 for a
+    ≥ 4-core grant; 2→8 when the grant reaches ~8) so it measures the
+    engine where the contended 4→16 pair measures the hypervisor. The
+    result ratchets into best_scaling.json (per cpu-pair slot,
+    lexicographic corpus-size then efficiency) and refreshes BASELINE.md
+    from the payload cache."""
+    lo, hi = cpus
+    if hi != 4 * lo:
+        raise ValueError(f"pair must be N:4N, got {lo}:{hi}")
     spark = _session(4)
     _ensure_corpus(spark, n_docs)
     spark.stop()
@@ -634,19 +656,22 @@ def within_grant_only(n_docs: int, rounds: int = 3) -> dict:
     c1s, c4s = [], []
     for _ in range(rounds):
         probes.append(weather_probe())
-        r1 = _run_worker(1, n_trials=1, n_docs=n_docs, tag="_wg")
-        r4 = _run_worker(4, n_trials=1, n_docs=n_docs, tag="_wg")
+        r1 = _run_worker(lo, n_trials=1, n_docs=n_docs, tag="_wg")
+        r4 = _run_worker(hi, n_trials=1, n_docs=n_docs, tag="_wg")
         r1s.append(r1["sec"])
         r4s.append(r4["sec"])
         for rr, acc in ((r1, c1s), (r4, c4s)):
             if rr.get("achieved_concurrency") is not None:
                 acc.append(rr["achieved_concurrency"])
-        ratios.append((r1["sec"] / r4["sec"]) / 4)
+        ratios.append((r1["sec"] / r4["sec"]) / (hi / lo))
     wg = {
-        "note": "standalone within-grant pair (--wg-only); fits a ≥4-core grant",
+        "note": (
+            f"standalone within-grant pair (--wg-only); fits a "
+            f"≥{hi}-core grant"
+        ),
         "n_pages": n_docs,
-        "cpus_n": 1,
-        "cpus_4n": 4,
+        "cpus_n": lo,
+        "cpus_4n": hi,
         "n_sec": round(_median(r1s), 2),
         "4n_sec": round(_median(r4s), 2),
         "scaling_efficiency_n_to_4n": round(_median(ratios), 3),
@@ -680,6 +705,33 @@ def _trial_rows() -> list[str]:
         trials = ", ".join(f"{t:.1f}" for t in d.get("trials", []))
         rows.append(f"| local[{cpus}] | {trials} | {d['sec']:.1f} |")
     return rows
+
+
+def _wg_best_lines(b: dict) -> list[str]:
+    """One markdown paragraph per recorded within-grant best slot
+    (``within_grant_best`` is the 1→4 pair; ``within_grant_best_NxM``
+    are wider pairs attempted when the host grant allows)."""
+    lines: list[str] = []
+    for key in sorted(k for k in b if k.startswith("within_grant_best")):
+        w = b[key]
+        eff = w.get("scaling_efficiency_n_to_4n")
+        if w.get("round_probes"):
+            probes = str(
+                [p.get("effective_cores") for p in w["round_probes"]]
+            )
+        else:
+            probes = str((w.get("probe") or {}).get("effective_cores"))
+        lines += [
+            "**Best recorded within-grant N→4N pair "
+            f"(BENCH/best_scaling.json `{key}`): efficiency {eff}**"
+            + (" — MEETS the ≥ 0.8 target" if (eff or 0) >= 0.8 else "")
+            + f": local[{w.get('cpus_n')}] → local[{w.get('cpus_4n')}] at "
+            f"{w.get('n_pages')} pages ({w.get('n_sec')}s → "
+            f"{w.get('4n_sec')}s), probe(s) {probes} effective cores, "
+            f"recorded {w.get('recorded_at')}.",
+            "",
+        ]
+    return lines
 
 
 def write_bench_md(payload: dict) -> None:
@@ -766,48 +818,7 @@ def write_bench_md(payload: dict) -> None:
             if s.get("within_grant")
             else []
         ),
-        *(
-            [
-                "**Best recorded within-grant N→4N pair "
-                "(BENCH/best_scaling.json): efficiency "
-                f"{b['within_grant_best']['scaling_efficiency_n_to_4n']}**"
-                + (
-                    " — MEETS the ≥ 0.8 target"
-                    if (
-                        b["within_grant_best"].get(
-                            "scaling_efficiency_n_to_4n"
-                        )
-                        or 0
-                    )
-                    >= 0.8
-                    else ""
-                )
-                + f": local[{b['within_grant_best'].get('cpus_n')}] → "
-                f"local[{b['within_grant_best'].get('cpus_4n')}] at "
-                f"{b['within_grant_best'].get('n_pages')} pages "
-                f"({b['within_grant_best'].get('n_sec')}s → "
-                f"{b['within_grant_best'].get('4n_sec')}s), probe(s) "
-                + (
-                    str(
-                        [
-                            p.get("effective_cores")
-                            for p in b["within_grant_best"]["round_probes"]
-                        ]
-                    )
-                    if b["within_grant_best"].get("round_probes")
-                    else str(
-                        (b["within_grant_best"].get("probe") or {}).get(
-                            "effective_cores"
-                        )
-                    )
-                )
-                + " effective cores, recorded "
-                f"{b['within_grant_best'].get('recorded_at')}.",
-                "",
-            ]
-            if b.get("within_grant_best")
-            else []
-        ),
+        *_wg_best_lines(b),
         "Historical ceiling: one genuinely quiet round-2 window (commit "
         "fd5cdec, before the probe-attached ratchet existed) measured "
         "**0.961** on the standard 3M-page 4→16 pair — 163.4 s → 42.5 s, "
@@ -905,7 +916,13 @@ def main() -> None:
             if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit()
             else BENCH_DOCS
         )
-        within_grant_only(n_docs)
+        cpus = (1, 4)
+        for a in sys.argv[i + 1 :]:
+            if ":" in a:
+                lo, hi = a.split(":", 1)
+                cpus = (int(lo), int(hi))
+                break
+        within_grant_only(n_docs, cpus=cpus)
         return
     skip_scaling = "--skip-scaling" in sys.argv
     # --scaling-only: redo ONLY the scaling rounds, reusing the last run's

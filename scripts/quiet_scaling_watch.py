@@ -24,15 +24,27 @@ from bench import BEST_SCALING_PATH, weather_probe  # noqa: E402
 
 TARGET = float(os.environ.get("WATCH_TARGET", "0.8"))
 MIN_CORES = float(os.environ.get("WATCH_MIN_CORES", "12"))
+# a 2->8 within-grant attempt needs only ~8 granted cores — the regime
+# this host actually reaches — and records in its own best_scaling slot
+WG_MIN_CORES = float(os.environ.get("WATCH_WG_MIN_CORES", "8"))
 POLL_SEC = int(os.environ.get("WATCH_POLL_SEC", "180"))
 DEADLINE = time.time() + float(os.environ.get("WATCH_MAX_HOURS", "4.5")) * 3600
 
 
-def best_recorded() -> float | None:
+def _best() -> dict:
     if os.path.exists(BEST_SCALING_PATH):
         with open(BEST_SCALING_PATH) as f:
-            return json.load(f).get("scaling_efficiency_n_to_4n")
-    return None
+            return json.load(f)
+    return {}
+
+
+def best_recorded() -> float | None:
+    return _best().get("scaling_efficiency_n_to_4n")
+
+
+def best_wg_2x8() -> float | None:
+    rec = _best().get("within_grant_best_2x8") or {}
+    return rec.get("scaling_efficiency_n_to_4n")
 
 
 def main() -> None:
@@ -42,8 +54,22 @@ def main() -> None:
             print(f"target reached: best={best}", flush=True)
             return
         p = weather_probe()
-        print(time.strftime("%H:%M:%S"), p, f"best={best}", flush=True)
-        if p["effective_cores"] >= MIN_CORES:
+        wg28 = best_wg_2x8()
+        print(
+            time.strftime("%H:%M:%S"),
+            p,
+            f"best={best} wg2x8={wg28}",
+            flush=True,
+        )
+        cores = p["effective_cores"]
+        args = None
+        if cores >= MIN_CORES:
+            args = ["--scaling-only"]
+        elif cores >= WG_MIN_CORES and (wg28 is None or wg28 < TARGET):
+            # the host never grants the full 16 today; bank the widest
+            # N->4N pair the grant covers instead of waiting forever
+            args = ["--wg-only", "3000000", "2:8"]
+        if args:
             env = dict(
                 os.environ,
                 SPARK_GRAFT_GATE_SLEEP_BUDGET="240",
@@ -53,7 +79,7 @@ def main() -> None:
             # (first run after a reboot also regenerates the 3M corpus)
             try:
                 r = subprocess.run(
-                    [sys.executable, "bench.py", "--scaling-only"],
+                    [sys.executable, "bench.py", *args],
                     cwd=REPO,
                     env=env,
                     capture_output=True,
@@ -62,7 +88,11 @@ def main() -> None:
                 rc = r.returncode
             except subprocess.TimeoutExpired:
                 rc = "timeout"
-            print(f"scaling run rc={rc} best={best_recorded()}", flush=True)
+            print(
+                f"{args[0]} run rc={rc} best={best_recorded()} "
+                f"wg2x8={best_wg_2x8()}",
+                flush=True,
+            )
         else:
             time.sleep(POLL_SEC)
     print("watch deadline reached", flush=True)

@@ -178,3 +178,46 @@ def test_watchdog_emits_partial_payload_and_exits_zero(
     bench._arm_watchdog(time.time() - 1)
     time.sleep(0.3)
     assert exited == []
+
+
+def test_within_grant_slots_per_cpu_pair(monkeypatch, tmp_path):
+    """Each within-grant cpu pair ratchets in its OWN slot: a wider 2->8
+    pair must not be gated by (or evict) the 1->4 record, and the legacy
+    key keeps serving the 1->4 pair."""
+    path = str(tmp_path / "best.json")
+    monkeypatch.setattr(bench, "BEST_SCALING_PATH", path)
+
+    def wg(eff, lo, hi):
+        return {
+            "scaling_efficiency_n_to_4n": eff,
+            "n_pages": 3_000_000,
+            "cpus_n": lo,
+            "cpus_4n": hi,
+            "probe": {"effective_cores": 6.0},
+        }
+
+    s = _scaling(0.99, n_pages=200_000)  # primary ineligible
+    s["within_grant"] = wg(0.9, 1, 4)
+    b = bench.update_best_scaling(s)
+    assert b["within_grant_best"]["scaling_efficiency_n_to_4n"] == 0.9
+    # a LOWER-efficiency 2->8 pair still records (separate slot)
+    s = _scaling(0.99, n_pages=200_000)
+    s["within_grant"] = wg(0.7, 2, 8)
+    b = bench.update_best_scaling(s)
+    assert b["within_grant_best"]["scaling_efficiency_n_to_4n"] == 0.9
+    assert b["within_grant_best_2x8"]["scaling_efficiency_n_to_4n"] == 0.7
+    # 2->8 ratchets within its own slot
+    s = _scaling(0.99, n_pages=200_000)
+    s["within_grant"] = wg(0.85, 2, 8)
+    b = bench.update_best_scaling(s)
+    assert b["within_grant_best_2x8"]["scaling_efficiency_n_to_4n"] == 0.85
+    # a better primary preserves EVERY wg slot
+    b = bench.update_best_scaling(_scaling(0.5))
+    assert b["scaling_efficiency_n_to_4n"] == 0.5
+    assert b["within_grant_best"]["scaling_efficiency_n_to_4n"] == 0.9
+    assert b["within_grant_best_2x8"]["scaling_efficiency_n_to_4n"] == 0.85
+    # the md writer renders one paragraph per slot
+    lines = bench._wg_best_lines(b)
+    text = "\n".join(lines)
+    assert "within_grant_best_2x8" in text and "local[2] → local[8]" in text
+    assert text.count("MEETS the ≥ 0.8 target") == 2
