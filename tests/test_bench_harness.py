@@ -221,3 +221,38 @@ def test_within_grant_slots_per_cpu_pair(monkeypatch, tmp_path):
     text = "\n".join(lines)
     assert "within_grant_best_2x8" in text and "local[2] → local[8]" in text
     assert text.count("MEETS the ≥ 0.8 target") == 2
+
+
+def test_headline_best_ratchet(monkeypatch, tmp_path):
+    """headline_best ratchets by pages_per_sec on the standard corpus only
+    and coexists with the scaling slots in the same file."""
+    path = str(tmp_path / "best.json")
+    monkeypatch.setattr(bench, "BEST_SCALING_PATH", path)
+
+    def rec(pps, n_pages=3_000_000):
+        return {
+            "pages_per_sec": pps,
+            "sec": 3_000_000 / pps,
+            "n_pages": n_pages,
+            "cpus": 32,
+            "probe": {"effective_cores": 7.0},
+        }
+
+    assert bench.update_best_headline(None) is None
+    b = bench.update_best_headline(rec(9000.0))
+    assert b["pages_per_sec"] == 9000.0 and "recorded_at" in b
+    # worse does not overwrite; better does; non-standard corpus ignored
+    assert bench.update_best_headline(rec(5000.0))["pages_per_sec"] == 9000.0
+    assert bench.update_best_headline(rec(47000.0))["pages_per_sec"] == 47000.0
+    assert (
+        bench.update_best_headline(rec(99000.0, n_pages=200_000))[
+            "pages_per_sec"
+        ]
+        == 47000.0
+    )
+    # coexists with scaling slots
+    bench.update_best_scaling(_scaling(0.4))
+    with open(path) as f:
+        on_disk = json.load(f)
+    assert on_disk["headline_best"]["pages_per_sec"] == 47000.0
+    assert on_disk["scaling_efficiency_n_to_4n"] == 0.4
