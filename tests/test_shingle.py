@@ -116,3 +116,47 @@ def test_extract_text_truncated_and_bodyless(spark):
             .first()["v"]
         )
         assert got.strip() == want, (html, got)
+
+
+def test_windows_give_identical_minhash_signatures():
+    """MinHash is invariant to shingle multiplicity: the fused path feeds
+    raw rolling-hash windows (shingle_windows) and must produce the exact
+    signatures of the set path (shingle_sets -> minhash)."""
+    import numpy as np
+
+    from lsh_qd_spark.config import HASH_M, MERSENNE_P
+    from lsh_qd_spark.functions.fast_shingle import (
+        shingle_sets,
+        shingle_windows,
+    )
+    from lsh_qd_spark.functions.minhash import (
+        minhash_matrix,
+        production_coefficients,
+    )
+
+    texts = [
+        "a b a b a b a b a b",  # heavy duplicate shingles
+        "the quick brown fox jumps over the lazy dog",
+        "",  # empty -> None
+        "one two",  # short doc (n < k)
+        "x " * 200,  # single repeated token
+    ]
+    k = 3
+    sets = shingle_sets(texts, k)
+    wins = shingle_windows(texts, k)
+    # windows dedup to exactly the sets
+    for s, w in zip(sets, wins):
+        if s is None:
+            assert w is None
+        else:
+            assert np.array_equal(np.unique(w), s)
+    a, b = production_coefficients(16, 42)
+    m_set = minhash_matrix(
+        [None if s is None else s.view(np.int64) for s in sets],
+        a, b, MERSENNE_P, HASH_M,
+    )
+    m_win = minhash_matrix(
+        [None if w is None else w.view(np.int64) for w in wins],
+        a, b, MERSENNE_P, HASH_M,
+    )
+    assert np.array_equal(m_set, m_win)
