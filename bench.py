@@ -31,6 +31,7 @@ import subprocess
 import sys
 import threading
 import time
+from collections import deque
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
@@ -259,7 +260,8 @@ PROBE_MIN_CORES = float(os.environ.get("SPARK_GRAFT_PROBE_MIN_CORES", "12"))
 PROBE_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_PROBE_WAIT_SEC", "30"))
 GATE_SLEEP_BUDGET = int(os.environ.get("SPARK_GRAFT_GATE_SLEEP_BUDGET", "120"))
 _gate_sleep_spent = 0.0
-_SERIAL_FLOOR = math.inf  # best probe serial seen by this process
+# (timestamp, serial_s) probe samples for the rolling serial floor
+_SERIAL_WINDOW: "deque[tuple[float, float]]" = deque()
 
 
 def weather_probe(n_threads: int = PROBE_THREADS) -> dict:
@@ -299,14 +301,20 @@ def weather_probe(n_threads: int = PROBE_THREADS) -> dict:
     # this box); under heavy load ALL THREE serial runs can starve, and an
     # inflated numerator overstates effective_cores (observed: serial 2.46
     # → "9.8 cores" during a saturating local run). Clamp the numerator to
-    # the best serial ever seen by this process — in quiet windows the
-    # floor equals the fresh measurement and changes nothing.
-    global _SERIAL_FLOOR
-    _SERIAL_FLOOR = min(_SERIAL_FLOOR, serial)
+    # the best serial seen in the last 30 min — a ROLLING window, not a
+    # process-lifetime min, so one anomalously fast turbo sample cannot
+    # permanently deflate the gauge in a long-lived watcher. The floor is
+    # recorded so effective_cores stays derivable from its own fields.
+    now = time.time()
+    _SERIAL_WINDOW.append((now, serial))
+    while _SERIAL_WINDOW and _SERIAL_WINDOW[0][0] < now - 1800:
+        _SERIAL_WINDOW.popleft()
+    floor = min(s for _, s in _SERIAL_WINDOW)
     return {
         "serial_s": round(serial, 3),
+        "floor_serial_s": round(floor, 3),
         "parallel_s": round(par, 3),
-        "effective_cores": round(n_threads * _SERIAL_FLOOR / par, 1),
+        "effective_cores": round(n_threads * floor / par, 1),
     }
 
 
@@ -554,6 +562,10 @@ BEST_SCALING_PATH = os.path.join(REPO, "BENCH", "best_scaling.json")
 # Amdahl floor and would record a meaningless "best"). Change the standard
 # → delete the file.
 STANDARD_SCALE_DOCS = 3_000_000
+# headline_best compares like with like too: only local[STANDARD_CPUS]
+# runs over the standard corpus are eligible (a SPARK_GRAFT_CPUS override
+# measures a different machine shape, not a better engine)
+STANDARD_CPUS = 32
 
 
 def update_best_scaling(s: dict | None) -> dict | None:
@@ -663,6 +675,7 @@ def update_best_headline(rec: dict | None) -> dict | None:
             rec
             and rec.get("pages_per_sec")
             and rec.get("n_pages") == STANDARD_SCALE_DOCS
+            and rec.get("cpus") == STANDARD_CPUS
             and (
                 prev is None
                 or rec["pages_per_sec"] > prev.get("pages_per_sec", 0)
@@ -825,7 +838,9 @@ def write_bench_md(payload: dict) -> None:
                 "granted-cores context.",
                 "",
             ]
-            if b
+            # headline_best alone can populate the file; key on the
+            # primary pair's own field, not dict truthiness
+            if b.get("scaling_efficiency_n_to_4n") is not None
             else [
                 "No best-recorded quiet-window run yet this cycle "
                 "(BENCH/best_scaling.json absent — the watcher retries "
@@ -986,9 +1001,11 @@ def main() -> None:
             if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit()
             else BENCH_DOCS
         )
+        # the pair is a positional right after --wg-only [n_docs]; do not
+        # scan the whole argv (a later path argument may contain ':')
         cpus = (1, 4)
-        for a in sys.argv[i + 1 :]:
-            if ":" in a:
+        for a in sys.argv[i + 1 : i + 3]:
+            if ":" in a and not a.startswith("-"):
                 lo, hi = a.split(":", 1)
                 cpus = (int(lo), int(hi))
                 break
@@ -1039,6 +1056,10 @@ def main() -> None:
         # trial, then to reporting the phase as absent (nulls are honest;
         # rc!=0 loses the whole artifact).
         head = None
+        # probe BEFORE the trials: the ratchet stores this as the record's
+        # weather context, and a post-run probe can describe a window that
+        # started after the measurement finished
+        head_probe = weather_probe()
         try:
             head = _run_worker(CPUS)
         except (RuntimeError, subprocess.TimeoutExpired) as e:
@@ -1057,7 +1078,7 @@ def main() -> None:
                     "sec": round(head["sec"], 2),
                     "n_pages": n_pages,
                     "cpus": CPUS,
-                    "probe": weather_probe(),
+                    "probe": head_probe,
                 }
             )
         else:

@@ -24,6 +24,14 @@ HASH_M = 2147483629  # largest prime < 2^31
 REF_MAX_VAL = 2**32 - 1
 REF_P = 4294967311
 
+# Version of the signature/banding key derivation. Bump whenever the BYTES
+# of persisted artifacts change for the same config (e.g. v2: band_key =
+# xxhash64(slice array) instead of xxhash64(comma-joined string)). It is
+# mixed into config_hash, so checkpointed stages and persisted indexes
+# built by an older kernel are detected as incompatible instead of
+# silently joining to nothing.
+KERNEL_VERSION = 2
+
 
 @dataclass(frozen=True)
 class DedupConfig:
@@ -59,8 +67,13 @@ class DedupConfig:
         return self.rows_per_band * self.num_bands
 
     def config_hash(self) -> str:
-        """Content hash for checkpoint manifests (resume detection)."""
-        payload = json.dumps(asdict(self), sort_keys=True)
+        """Content hash for checkpoint manifests (resume detection).
+        Includes KERNEL_VERSION: artifacts persisted by an older key
+        derivation must not be resumed or queried against."""
+        payload = json.dumps(
+            {**asdict(self), "kernel_version": KERNEL_VERSION},
+            sort_keys=True,
+        )
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 

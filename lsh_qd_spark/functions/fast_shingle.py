@@ -12,8 +12,12 @@ MinHash in ONE Arrow-batched pandas UDF at ~0.1 ms/doc:
 - token hash: zlib.crc32 (C speed, stable across processes/platforms);
 - k-gram shingle id: rolling polynomial combine of k consecutive token
   hashes in uint64 wraparound arithmetic (golden-ratio odd multiplier) —
-  vectorized over the whole document; duplicates dropped via ``np.unique``
-  (the set semantics of /root/reference/lsh-qd.py:195);
+  vectorized over the whole document. The SIGNATURE path keeps duplicate
+  shingles (MinHash is multiplicity-invariant, so the per-doc unique-sort
+  is skipped — ``shingle_windows``); consumers needing true SET semantics
+  (Jaccard verify, SimHash — the sets of /root/reference/lsh-qd.py:195)
+  must use ``shingle_sets``/``shingle_set``, which dedup via
+  ``np.unique``;
 - MinHash: the per-hash 1-D loop of functions/minhash.py on the
   concatenated batch.
 

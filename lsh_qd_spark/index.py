@@ -53,22 +53,31 @@ class LSHIndex:
             self.pipe.signatures_from_text(docs, text_col, id_col)
         ).withColumn("shard", self._shard())
         write_stage(buckets, self.index_ref, "overwrite", ["shard"])
+        from lsh_qd_spark.io import write_compat_meta
+
+        write_compat_meta(self.index_ref, self.config.config_hash())
 
     def append(
         self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     ) -> None:
         """Incrementally add documents (no rebuild — the insert path of the
         reference's ``hash``, one tqdm row at a time there, one job here)."""
-        from lsh_qd_spark.io import write_stage
+        from lsh_qd_spark.io import check_compat_meta, write_stage
 
+        # appending new-kernel keys into an old-kernel index would split
+        # identical buckets into disjoint keys — fail loudly instead
+        check_compat_meta(self.index_ref, self.config.config_hash())
         buckets = self.pipe.buckets(
             self.pipe.signatures_from_text(docs, text_col, id_col)
         ).withColumn("shard", self._shard())
         write_stage(buckets, self.index_ref, "append", ["shard"])
 
     def buckets(self, spark: SparkSession) -> DataFrame:
-        from lsh_qd_spark.io import read_stage
+        from lsh_qd_spark.io import check_compat_meta, read_stage
 
+        # a query against an index built by an incompatible kernel/config
+        # would equi-join to NOTHING (silent zero recall) — raise instead
+        check_compat_meta(self.index_ref, self.config.config_hash())
         return read_stage(spark, self.index_ref)
 
     def exists(self, spark: SparkSession) -> bool:

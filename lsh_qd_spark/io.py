@@ -103,3 +103,47 @@ def stage_exists(spark: SparkSession, ref: str) -> bool:
     if is_path_ref(ref):
         return os.path.exists(ref)
     return spark.catalog.tableExists(ref)
+
+
+def write_compat_meta(ref: str, config_hash: str) -> None:
+    """Record the builder's config hash next to a persisted index.
+
+    Filesystem refs only: the marker is an underscore-prefixed JSON file
+    inside the table directory (Spark readers skip ``_*`` files, like
+    ``_SUCCESS``). Catalog refs would carry this as a table property —
+    not implemented here (no catalog in-sandbox), so they no-op.
+    """
+    if not is_path_ref(ref):
+        return
+    import json
+
+    os.makedirs(ref, exist_ok=True)
+    with open(os.path.join(ref, "_compat_meta.json"), "w") as f:
+        json.dump({"config_hash": config_hash}, f)
+
+
+def check_compat_meta(ref: str, config_hash: str, what: str = "index") -> None:
+    """Fail LOUDLY when a persisted index was built by an incompatible
+    kernel/config. config_hash includes KERNEL_VERSION, so e.g. a band-key
+    derivation change makes every equi-join against an old index match
+    nothing — zero recall with no error anywhere. Raising here converts
+    that silent wrong answer into an actionable rebuild instruction.
+
+    A missing marker (pre-versioning index, or catalog ref) is tolerated:
+    we cannot distinguish "old layout" from "built before markers existed".
+    """
+    if not is_path_ref(ref):
+        return
+    import json
+
+    path = os.path.join(ref, "_compat_meta.json")
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        recorded = json.load(f).get("config_hash")
+    if recorded != config_hash:
+        raise RuntimeError(
+            f"persisted {what} at {ref!r} was built with config/kernel hash "
+            f"{recorded}, current is {config_hash}; its keys would match "
+            f"nothing — rebuild it (LSHIndex.hash / delete the work dir)"
+        )

@@ -85,6 +85,14 @@ class IncrementalDedup:
         return F.pmod(F.xxhash64("band_key"), F.lit(self.n_shards)).cast("int")
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from lsh_qd_spark.io import check_compat_meta, write_compat_meta
+
+        # a resumed stream joining new-kernel band keys against an index
+        # persisted by an older kernel/config would detect zero duplicates
+        # with no error — fail loudly before touching the sinks
+        check_compat_meta(
+            self.index_dir, self.config.config_hash(), what="stream index"
+        )
         spark = batch_df.sparkSession
         buckets = (
             self.pipe.buckets(self.pipe.signatures_from_text(batch_df))
@@ -147,6 +155,7 @@ class IncrementalDedup:
         write_stage(
             buckets, self.index_dir, "dynamic_overwrite", ["epoch", "shard"]
         )
+        write_compat_meta(self.index_dir, self.config.config_hash())
         if self.record_metrics:
             # Per-epoch lineage + metrics (north rule): per-shard bucket-row
             # counts (the index partitions this epoch wrote) + hit count.

@@ -118,3 +118,28 @@ def test_bucketed_table_elides_shuffle(spark, corpus, index):
         ).collect()
     }
     assert via_table == direct and via_table
+
+
+def test_incompatible_index_fails_loudly(spark, corpus, index, tmp_path):
+    """An index persisted by a different kernel/config must raise on
+    query/append, not equi-join to nothing (silent zero recall). The
+    marker is written by hash()/the stream and checked on every read."""
+    import json
+
+    meta = os.path.join(index.index_ref, "_compat_meta.json")
+    assert os.path.exists(meta)
+    with open(meta) as f:
+        assert json.load(f)["config_hash"] == CFG.config_hash()
+    # same ref, different config (as after a kernel-version bump)
+    other = LSHIndex(
+        DedupConfig(rows_per_band=2, num_bands=8), index.index_ref
+    )
+    with pytest.raises(RuntimeError, match="rebuild"):
+        other.buckets(spark)
+    with pytest.raises(RuntimeError, match="rebuild"):
+        other.append(corpus.limit(1))
+    # matching config keeps working
+    assert index.buckets(spark).count() > 0
+    # a marker-less (pre-versioning) index is tolerated
+    os.remove(meta)
+    assert other.buckets(spark).count() > 0
