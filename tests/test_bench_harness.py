@@ -256,3 +256,34 @@ def test_headline_best_ratchet(monkeypatch, tmp_path):
         on_disk = json.load(f)
     assert on_disk["headline_best"]["pages_per_sec"] == 47000.0
     assert on_disk["scaling_efficiency_n_to_4n"] == 0.4
+
+
+def test_probe_serial_floor_rolls(monkeypatch):
+    """The probe clamps effective_cores with the best serial of the last
+    30 min — protecting against a starved serial leg — but the floor
+    ROLLS: samples older than the window drop out, so one anomalously
+    fast reading cannot deflate a long-lived watcher forever."""
+    bench._SERIAL_WINDOW.clear()
+    fake_now = [1000.0]
+    monkeypatch.setattr(bench.time, "time", lambda: fake_now[0])
+
+    def probe_with(serial, par):
+        # drive weather_probe's bookkeeping directly
+        now = bench.time.time()
+        bench._SERIAL_WINDOW.append((now, serial))
+        while bench._SERIAL_WINDOW and bench._SERIAL_WINDOW[0][0] < now - 1800:
+            bench._SERIAL_WINDOW.popleft()
+        floor = min(s for _, s in bench._SERIAL_WINDOW)
+        return round(16 * floor / par, 1)
+
+    # quiet window: floor == fresh serial
+    assert probe_with(0.25, 0.5) == 8.0
+    # starved serial (2.5 s) under load: clamped by the 0.25 floor —
+    # effective cores reads LOW, not a false high
+    fake_now[0] += 60
+    assert probe_with(2.5, 4.0) == 1.0
+    # 31 min later the fast sample has rolled out; the floor re-bases on
+    # what the window still holds
+    fake_now[0] += 1860
+    assert probe_with(0.5, 1.0) == 8.0  # floor is now 0.5, not 0.25
+    bench._SERIAL_WINDOW.clear()
