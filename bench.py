@@ -523,7 +523,9 @@ def run_scaling(deadline: float | None = None) -> dict:
     # a pair that FITS the observed grant (1→4 cores — a ~5-core grant
     # covers it) so the artifact still carries an engine-scaling number
     # with honest provenance. Smaller corpus keeps the 1-core leg bounded;
-    # it is reported under its own key and never feeds best_scaling.json.
+    # it is reported under its own key and ratchets into best_scaling.json's
+    # per-pair within_grant_best slot (where the lexicographic corpus-size
+    # ordering keeps a 1M-page fallback from displacing a 3M-page record).
     all_bad = all(
         p.get("effective_cores", 0) < PROBE_MIN_CORES for p in probes
     )

@@ -154,6 +154,24 @@ def run_batch(spark, args) -> dict:
         pages = remove_boilerplate(
             pages, text_col=args.text_col, id_col=args.id_col
         ).select(F.col("doc_id").alias(args.id_col), args.text_col)
+    if args.plan_only:
+        # Plan building is not free of execution here: candidate_pairs
+        # eagerly collects oversized-bucket keys and verify's 'auto' fetch
+        # counts candidate ids, so "explain the real input" would burn most
+        # of the job's compute on a 100 TB table — and with a checkpoint
+        # dir it would also write stage tables, contradicting "(no write)".
+        # Explain over a bounded sample instead: the operator tree is
+        # identical (one extra LocalLimit at the scan), the eager parts
+        # touch ≤ 10k rows, and nothing is checkpointed.
+        sample_pipe = DedupPipeline(make_config(args), checkpoint_dir=None)
+        sample = sample_pipe.run(
+            pages.limit(10_000),
+            text_col=args.text_col,
+            id_col=args.id_col,
+            include_singletons=args.include_singletons,
+        )
+        sample["clusters"].explain("formatted")
+        return {}
     pipe = DedupPipeline(make_config(args), checkpoint_dir=args.checkpoint_dir)
     out = pipe.run(
         pages,
@@ -161,9 +179,6 @@ def run_batch(spark, args) -> dict:
         id_col=args.id_col,
         include_singletons=args.include_singletons,
     )
-    if args.plan_only:
-        out["clusters"].explain("formatted")
-        return {}
     _write_results(spark, args, pages, out["verified"], out["clusters"])
     return {
         "mode": "batch",

@@ -76,6 +76,27 @@ class DedupConfig:
         )
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
+    def key_hash(self) -> str:
+        """Hash of ONLY the fields that determine persisted index BYTES
+        (shingle ids, signature values, band keys). This is the compat
+        gate for persisted LSH indexes: execution-only knobs
+        (jaccard_threshold, alpha, verify_fetch, caps...) may differ
+        between the builder and a querier of the same index — re-querying
+        at a stricter threshold is a supported use, not an incompatible
+        index."""
+        payload = json.dumps(
+            {
+                "shingle_k": self.shingle_k,
+                "rows_per_band": self.rows_per_band,
+                "num_bands": self.num_bands,
+                "seed": self.seed,
+                "shingle_hash": self.shingle_hash,
+                "kernel_version": KERNEL_VERSION,
+            },
+            sort_keys=True,
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
 
 @dataclass(frozen=True)
 class RuntimeConfig:

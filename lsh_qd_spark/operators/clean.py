@@ -32,6 +32,22 @@ from pyspark.sql import functions as F
 from lsh_qd_spark.functions.text import tokens
 
 
+def token_segments(toks: F.Column, seg_len: int) -> F.Column:
+    """Non-overlapping fixed-size token windows of ``toks`` (array<string>
+    → array<string> of space-joined windows; the sub-window tail is NOT a
+    segment). THE segmentation rule — shared by the cleaning
+    transformation below and the oracle-checked accounting
+    (oracle.q_boilerplate_segments), so the two cannot drift."""
+    n_seg = F.floor(F.size(toks) / seg_len).cast("int")
+    return F.when(
+        n_seg > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * seg_len + 1, seg_len)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def remove_boilerplate(
     docs: DataFrame,
     seg_len: int = 10,
@@ -47,13 +63,7 @@ def remove_boilerplate(
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     n = F.size(toks)
     n_seg = F.floor(n / seg_len).cast("int")
-    segs = F.when(
-        n_seg > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_seg - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i * seg_len + 1, seg_len)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    segs = token_segments(toks, seg_len)
     tail = F.concat_ws(
         " ", F.slice(toks, n_seg * seg_len + 1, F.lit(2_000_000_000))
     )

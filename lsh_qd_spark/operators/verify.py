@@ -33,6 +33,7 @@ def verify_pairs_text(
     text_col: str = "text",
     fetch: str = "auto",
     broadcast_ids_cap: int = 1_000_000,
+    broadcast_bytes_cap: int = 512 * 1024 * 1024,
 ) -> DataFrame:
     """Jaccard verify straight from text — the production path.
 
@@ -61,10 +62,13 @@ def verify_pairs_text(
       on the docs side.
     - ``"auto"`` (default): count distinct candidate ids (cheap when
       ``pairs`` is persisted — the pipeline persists it) and pick
-      broadcast_ids iff the count ≤ ``broadcast_ids_cap``. The cap bounds
-      BOTH broadcasts: the id set (8B/row) and the checkpointed candidate
-      texts (~300B/row → ~300MB at the default cap; size the cap to the
-      driver/executor memory budget).
+      broadcast_ids iff the count ≤ ``broadcast_ids_cap`` AND the
+      ESTIMATED candidate-text bytes (count × sampled mean text length)
+      fit ``broadcast_bytes_cap``. The row cap alone is not a memory
+      bound: real crawl pages average 5–100 KB, so 1M candidate texts can
+      be tens of GB — far beyond what the two text broadcasts may collect.
+      The byte estimate costs one limit-pushed sample scan of the docs
+      table (≤ 10k rows).
     """
     import numpy as np
     import pandas as pd
@@ -83,7 +87,20 @@ def verify_pairs_text(
         # one small aggregate job over (ideally persisted) pairs — nothing
         # corpus-sized runs and nothing collects beyond the single count
         n_ids = ids.count()
-        fetch = "broadcast_ids" if n_ids <= broadcast_ids_cap else "shuffle"
+        fetch = "shuffle"
+        if n_ids <= broadcast_ids_cap:
+            # bound BYTES, not just rows: sample the mean text length
+            # (limit is pushed to the scan — a few parquet pages) and
+            # require the estimated candidate-text broadcast to fit
+            avg_len = (
+                t.select(F.length("_vtx").alias("_l"))
+                .limit(10_000)
+                .agg(F.avg("_l"))
+                .first()[0]
+                or 0.0
+            )
+            if n_ids * (avg_len + 24) <= broadcast_bytes_cap:
+                fetch = "broadcast_ids"
     if fetch == "broadcast_ids":
         # eager localCheckpoint: BOTH pair joins consume t — without it the
         # corpus scan + semi-join would re-run per side. Blocks are

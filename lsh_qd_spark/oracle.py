@@ -921,19 +921,14 @@ SEG_BOILER_DF = 3  # C4's "appears in >= 3 documents" rule
 def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_segments, boiler_segments, kept_tokens): per-document
     boilerplate accounting under cross-corpus segment dedup."""
+    from lsh_qd_spark.operators.clean import token_segments
+
     docs = _docs(spark, sf_dir)
     toks = tokens(F.coalesce(F.col("text"), F.lit("")))
     n = F.size(toks)
-    n_seg = F.floor(n / SEG_LEN).cast("int")
-    segs = F.when(
-        n_seg > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_seg - 1),
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, i * SEG_LEN + 1, SEG_LEN)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # the ONE segmentation rule, shared with operators/clean.py so the
+    # accounting and the transformation cannot drift
+    segs = token_segments(toks, SEG_LEN)
     base = docs.select("doc_id", n.alias("_n"), segs.alias("_segs"))
     exploded = base.select("doc_id", F.explode("_segs").alias("seg"))
     seg_df = exploded.groupBy("seg").agg(

@@ -115,6 +115,11 @@ class StreamDedup:
             self.config.shingle_k,
             id_col=id_col,
             text_col=text_col,
+            # honor the same execution knobs the batch pipeline forwards —
+            # a memory-constrained config (fetch='shuffle' or a small
+            # broadcast cap) must behave identically in streaming mode
+            fetch=self.config.verify_fetch,
+            broadcast_ids_cap=self.config.verify_broadcast_ids_cap,
         )
 
     def clusters(

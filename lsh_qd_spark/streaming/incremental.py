@@ -91,7 +91,7 @@ class IncrementalDedup:
         # persisted by an older kernel/config would detect zero duplicates
         # with no error — fail loudly before touching the sinks
         check_compat_meta(
-            self.index_dir, self.config.config_hash(), what="stream index"
+            self.index_dir, self.config.key_hash(), what="stream index"
         )
         spark = batch_df.sparkSession
         buckets = (
@@ -155,7 +155,7 @@ class IncrementalDedup:
         write_stage(
             buckets, self.index_dir, "dynamic_overwrite", ["epoch", "shard"]
         )
-        write_compat_meta(self.index_dir, self.config.config_hash())
+        write_compat_meta(self.index_dir, self.config.key_hash())
         if self.record_metrics:
             # Per-epoch lineage + metrics (north rule): per-shard bucket-row
             # counts (the index partitions this epoch wrote) + hit count.

@@ -52,6 +52,25 @@ class IVFIndex:
         self.emb_col = emb_col
         self._cents = ivf_centroids(n_centroids, n_dims, seed)
 
+    def _key_hash(self) -> str:
+        """Compat marker payload: the fields that determine persisted cell
+        assignments. A query with different centroids (n_centroids /
+        n_dims / seed) would probe the WRONG cell partitions and return
+        incomplete neighbors with no error — same silent-failure class the
+        LSH index guards against."""
+        import hashlib
+        import json
+
+        payload = json.dumps(
+            {
+                "n_centroids": self.n_centroids,
+                "n_dims": self.n_dims,
+                "seed": self.seed,
+            },
+            sort_keys=True,
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
     def _assigned(self, vectors: DataFrame) -> DataFrame:
         assign_udf = make_ivf_cells_udf(self._cents, 1)
         return vectors.select(
@@ -61,19 +80,22 @@ class IVFIndex:
         )
 
     def build(self, vectors: DataFrame) -> None:
-        from lsh_qd_spark.io import write_stage
+        from lsh_qd_spark.io import write_compat_meta, write_stage
 
         write_stage(self._assigned(vectors), self.index_ref, "overwrite", ["cell"])
+        write_compat_meta(self.index_ref, self._key_hash())
 
     def append(self, vectors: DataFrame) -> None:
         """Insert without re-clustering (data-independent centroids)."""
-        from lsh_qd_spark.io import write_stage
+        from lsh_qd_spark.io import check_compat_meta, write_stage
 
+        check_compat_meta(self.index_ref, self._key_hash(), what="IVF index")
         write_stage(self._assigned(vectors), self.index_ref, "append", ["cell"])
 
     def rows(self, spark: SparkSession) -> DataFrame:
-        from lsh_qd_spark.io import read_stage
+        from lsh_qd_spark.io import check_compat_meta, read_stage
 
+        check_compat_meta(self.index_ref, self._key_hash(), what="IVF index")
         return read_stage(spark, self.index_ref)
 
     def topk(

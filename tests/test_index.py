@@ -129,8 +129,8 @@ def test_incompatible_index_fails_loudly(spark, corpus, index, tmp_path):
     meta = os.path.join(index.index_ref, "_compat_meta.json")
     assert os.path.exists(meta)
     with open(meta) as f:
-        assert json.load(f)["config_hash"] == CFG.config_hash()
-    # same ref, different config (as after a kernel-version bump)
+        assert json.load(f)["config_hash"] == CFG.key_hash()
+    # same ref, different KEY-AFFECTING config (as after a kernel bump)
     other = LSHIndex(
         DedupConfig(rows_per_band=2, num_bands=8), index.index_ref
     )
@@ -138,6 +138,19 @@ def test_incompatible_index_fails_loudly(spark, corpus, index, tmp_path):
         other.buckets(spark)
     with pytest.raises(RuntimeError, match="rebuild"):
         other.append(corpus.limit(1))
+    # an EXECUTION-ONLY knob change (stricter verify threshold, different
+    # alpha) does not invalidate the index — the persisted bytes are
+    # identical, and re-querying at a new threshold is a supported use
+    requery = LSHIndex(
+        DedupConfig(
+            rows_per_band=CFG.rows_per_band,
+            num_bands=CFG.num_bands,
+            jaccard_threshold=0.95,
+            alpha=3,
+        ),
+        index.index_ref,
+    )
+    assert requery.buckets(spark).count() > 0
     # matching config keeps working
     assert index.buckets(spark).count() > 0
     # a marker-less (pre-versioning) index is tolerated
