@@ -62,14 +62,16 @@ def main() -> None:
             flush=True,
         )
         cores = p["effective_cores"]
-        args = None
+        runs: list[list[str]] = []
         if cores >= MIN_CORES:
-            args = ["--scaling-only"]
+            # headline first: ~2 min for a probe-attached headline_best
+            # attempt before committing the window to a ~25-min scaling run
+            runs = [["--headline-only"], ["--scaling-only"]]
         elif cores >= WG_MIN_CORES and (wg28 is None or wg28 < TARGET):
             # the host never grants the full 16 today; bank the widest
             # N->4N pair the grant covers instead of waiting forever
-            args = ["--wg-only", "3000000", "2:8"]
-        if args:
+            runs = [["--wg-only", "3000000", "2:8"]]
+        for args in runs:
             env = dict(
                 os.environ,
                 SPARK_GRAFT_GATE_SLEEP_BUDGET="240",
@@ -93,7 +95,7 @@ def main() -> None:
                 f"wg2x8={best_wg_2x8()}",
                 flush=True,
             )
-        else:
+        if not runs:
             time.sleep(POLL_SEC)
     print("watch deadline reached", flush=True)
 

@@ -287,3 +287,52 @@ def test_probe_serial_floor_rolls(monkeypatch):
     fake_now[0] += 1860
     assert probe_with(0.5, 1.0) == 8.0  # floor is now 0.5, not 0.25
     bench._SERIAL_WINDOW.clear()
+
+
+def test_headline_only_ratchets_and_refreshes_payload(monkeypatch, tmp_path):
+    """--headline-only: one fresh-JVM worker run, pre-run probe attached,
+    ratcheted into headline_best, and the payload cache + BASELINE.md are
+    refreshed so the record ships without a full bench run."""
+    best_path = str(tmp_path / "best.json")
+    monkeypatch.setattr(bench, "BEST_SCALING_PATH", best_path)
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    (tmp_path / "BENCH").mkdir()
+    cache = tmp_path / "BENCH" / "payload.json"
+    cache.write_text(json.dumps({"queries": {}, "sf": "x"}))
+    monkeypatch.setattr(
+        bench, "weather_probe", lambda: {"effective_cores": 13.0}
+    )
+    monkeypatch.setattr(
+        bench,
+        "_run_worker",
+        lambda cpus, n_trials=None, n_docs=None, tag="": {
+            "cpus": cpus,
+            "n_pages": bench.STANDARD_SCALE_DOCS,
+            "sec": 60.0,
+            "achieved_concurrency": 30.0,
+        },
+    )
+    monkeypatch.setattr(bench, "CPUS", bench.STANDARD_CPUS)
+    rec = bench.headline_only()
+    assert rec["pages_per_sec"] == 50000.0
+    assert rec["probe"]["effective_cores"] == 13.0
+    payload = json.loads(cache.read_text())
+    assert (
+        payload["headline_best_recorded"]["pages_per_sec"] == 50000.0
+    )
+    assert (tmp_path / "BENCH" / "BASELINE.md").exists()
+    # a slower attempt does not regress the shipped record
+    monkeypatch.setattr(
+        bench,
+        "_run_worker",
+        lambda cpus, n_trials=None, n_docs=None, tag="": {
+            "cpus": cpus,
+            "n_pages": bench.STANDARD_SCALE_DOCS,
+            "sec": 120.0,
+        },
+    )
+    bench.headline_only()
+    payload = json.loads(cache.read_text())
+    assert (
+        payload["headline_best_recorded"]["pages_per_sec"] == 50000.0
+    )
