@@ -146,14 +146,17 @@ def run_batch(spark, args) -> dict:
             args.text_col,
             F.coalesce(F.col(args.text_col), extract_text(F.col("html"))),
         )
+    clean = None
     if args.clean_boilerplate:
         from pyspark.sql import functions as F
 
         from lsh_qd_spark.operators.clean import remove_boilerplate
 
-        pages = remove_boilerplate(
-            pages, text_col=args.text_col, id_col=args.id_col
-        ).select(F.col("doc_id").alias(args.id_col), args.text_col)
+        def clean(df):
+            return remove_boilerplate(
+                df, text_col=args.text_col, id_col=args.id_col
+            ).select(F.col("doc_id").alias(args.id_col), args.text_col)
+
     if args.plan_only:
         # Plan building is not free of execution here: candidate_pairs
         # eagerly collects oversized-bucket keys and verify's 'auto' fetch
@@ -162,16 +165,24 @@ def run_batch(spark, args) -> dict:
         # dir it would also write stage tables, contradicting "(no write)".
         # Explain over a bounded sample instead: the operator tree is
         # identical (one extra LocalLimit at the scan), the eager parts
-        # touch ≤ 10k rows, and nothing is checkpointed.
+        # touch ≤ 10k rows, and nothing is checkpointed. The limit sits
+        # BELOW the boilerplate-clean aggregation: cleaning is a
+        # full-corpus groupBy+join, and a limit applied above it cannot
+        # prune it — sampling first keeps the eager parts bounded.
+        sample_pages = pages.limit(10_000)
+        if clean is not None:
+            sample_pages = clean(sample_pages)
         sample_pipe = DedupPipeline(make_config(args), checkpoint_dir=None)
         sample = sample_pipe.run(
-            pages.limit(10_000),
+            sample_pages,
             text_col=args.text_col,
             id_col=args.id_col,
             include_singletons=args.include_singletons,
         )
         sample["clusters"].explain("formatted")
         return {}
+    if clean is not None:
+        pages = clean(pages)
     pipe = DedupPipeline(make_config(args), checkpoint_dir=args.checkpoint_dir)
     out = pipe.run(
         pages,

@@ -55,7 +55,11 @@ class LSHIndex:
         write_stage(buckets, self.index_ref, "overwrite", ["shard"])
         from lsh_qd_spark.io import write_compat_meta
 
-        write_compat_meta(self.index_ref, self.config.key_hash())
+        write_compat_meta(
+            self.index_ref,
+            self.config.key_hash(),
+            layout={"n_shards": self.n_shards},
+        )
 
     def append(
         self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -66,7 +70,11 @@ class LSHIndex:
 
         # appending new-kernel keys into an old-kernel index would split
         # identical buckets into disjoint keys — fail loudly instead
-        check_compat_meta(self.index_ref, self.config.key_hash())
+        check_compat_meta(
+            self.index_ref,
+            self.config.key_hash(),
+            layout={"n_shards": self.n_shards},
+        )
         buckets = self.pipe.buckets(
             self.pipe.signatures_from_text(docs, text_col, id_col)
         ).withColumn("shard", self._shard())
@@ -77,7 +85,11 @@ class LSHIndex:
 
         # a query against an index built by an incompatible kernel/config
         # would equi-join to NOTHING (silent zero recall) — raise instead
-        check_compat_meta(self.index_ref, self.config.key_hash())
+        check_compat_meta(
+            self.index_ref,
+            self.config.key_hash(),
+            layout={"n_shards": self.n_shards},
+        )
         return read_stage(spark, self.index_ref)
 
     def exists(self, spark: SparkSession) -> bool:

@@ -105,8 +105,14 @@ def stage_exists(spark: SparkSession, ref: str) -> bool:
     return spark.catalog.tableExists(ref)
 
 
-def write_compat_meta(ref: str, config_hash: str) -> None:
-    """Record the builder's config hash next to a persisted index.
+def write_compat_meta(
+    ref: str, config_hash: str, layout: dict | None = None
+) -> None:
+    """Record the builder's config hash — plus any physical-LAYOUT knobs
+    that live outside DedupConfig (e.g. ``n_shards``: the shard column is
+    ``pmod(xxhash64(band_key), n_shards)``, so a reader with a different
+    shard count prunes/joins against the wrong partitions with no error)
+    — next to a persisted index.
 
     Filesystem refs only: the marker is an underscore-prefixed JSON file
     inside the table directory (Spark readers skip ``_*`` files, like
@@ -119,18 +125,27 @@ def write_compat_meta(ref: str, config_hash: str) -> None:
 
     os.makedirs(ref, exist_ok=True)
     with open(os.path.join(ref, "_compat_meta.json"), "w") as f:
-        json.dump({"config_hash": config_hash}, f)
+        json.dump({"config_hash": config_hash, **(layout or {})}, f)
 
 
-def check_compat_meta(ref: str, config_hash: str, what: str = "index") -> None:
+def check_compat_meta(
+    ref: str,
+    config_hash: str,
+    what: str = "index",
+    layout: dict | None = None,
+) -> None:
     """Fail LOUDLY when a persisted index was built by an incompatible
-    kernel/config. config_hash includes KERNEL_VERSION, so e.g. a band-key
-    derivation change makes every equi-join against an old index match
-    nothing — zero recall with no error anywhere. Raising here converts
-    that silent wrong answer into an actionable rebuild instruction.
+    kernel/config OR physical layout. config_hash includes KERNEL_VERSION,
+    so e.g. a band-key derivation change makes every equi-join against an
+    old index match nothing — zero recall with no error anywhere. Layout
+    knobs (``n_shards``) are checked the same way: shard values are
+    ``pmod(hash, n_shards)``, so a shard-count mismatch silently prunes to
+    the wrong partitions. Raising here converts those silent wrong answers
+    into an actionable rebuild instruction.
 
-    A missing marker (pre-versioning index, or catalog ref) is tolerated:
-    we cannot distinguish "old layout" from "built before markers existed".
+    A missing marker or a marker without a given layout key (pre-versioning
+    index, or catalog ref) is tolerated: we cannot distinguish "old layout"
+    from "built before markers existed".
     """
     if not is_path_ref(ref):
         return
@@ -140,10 +155,20 @@ def check_compat_meta(ref: str, config_hash: str, what: str = "index") -> None:
     if not os.path.exists(path):
         return
     with open(path) as f:
-        recorded = json.load(f).get("config_hash")
-    if recorded != config_hash:
+        recorded = json.load(f)
+    mismatches = []
+    if recorded.get("config_hash") != config_hash:
+        mismatches.append(
+            f"config/kernel hash {recorded.get('config_hash')} vs current "
+            f"{config_hash}"
+        )
+    for k, v in (layout or {}).items():
+        if k in recorded and recorded[k] != v:
+            mismatches.append(f"{k} {recorded[k]} vs current {v}")
+    if mismatches:
         raise RuntimeError(
-            f"persisted {what} at {ref!r} was built with config/kernel hash "
-            f"{recorded}, current is {config_hash}; its keys would match "
-            f"nothing — rebuild it (LSHIndex.hash / delete the work dir)"
+            f"persisted {what} at {ref!r} is incompatible with this reader "
+            f"({'; '.join(mismatches)}); its keys/partitions would match "
+            f"the wrong rows — rebuild it (LSHIndex.hash / delete the work "
+            f"dir) or construct the reader with the builder's settings"
         )

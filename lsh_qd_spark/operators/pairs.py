@@ -128,6 +128,16 @@ def candidate_pairs(
                 # are reference-tracked — freed when the returned plan is
                 # dropped — and the truncated lineage still guarantees the
                 # upstream kernel runs only once.
+                #
+                # Fault-tolerance trade (applies to every localCheckpoint
+                # in this package): blocks are non-replicated, so losing
+                # an executor mid-job fails the JOB instead of recomputing
+                # the partition from lineage. That is the accepted cost of
+                # not leaking session-lifetime cache: a failed run re-runs
+                # and resumes from the DedupPipeline stage store (the
+                # durable checkpoint layer). On clusters with aggressive
+                # dynamic allocation / preemption, prefer a checkpoint_dir
+                # so stage tables, not executor blocks, carry the state.
                 big_df = big.localCheckpoint(eager=True)
                 log.warning(
                     "candidate_pairs: more than %d oversized-bucket keys; "

@@ -24,6 +24,39 @@ def jaccard_expr(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def _auto_fetch(
+    ids: DataFrame,
+    t: DataFrame,
+    broadcast_ids_cap: int,
+    broadcast_bytes_cap: int,
+) -> str:
+    """Pick the candidate-text fetch strategy for ``fetch='auto'``.
+
+    One small aggregate job over (ideally persisted) pairs — nothing
+    corpus-sized runs and nothing collects beyond the single count. The
+    byte bound samples the mean text length OF THE CANDIDATES (semi-join
+    against the — already counted, so broadcastable — id set, then limit).
+    Sampling the corpus head instead would be wrong twice over: parquet
+    limit-pushdown reads whichever file lists first, and a corpus whose
+    head file holds short pages would green-light broadcasting candidates
+    that average 100x longer. Null texts count as 0 bytes (they reach the
+    kernel as empty shingle sets)."""
+    n_ids = ids.count()
+    if n_ids > broadcast_ids_cap:
+        return "shuffle"
+    avg_len = (
+        t.join(F.broadcast(ids), "_vid", "left_semi")
+        .select(F.coalesce(F.length("_vtx"), F.lit(0)).alias("_l"))
+        .limit(10_000)
+        .agg(F.avg("_l"))
+        .first()[0]
+        or 0.0
+    )
+    if n_ids * (avg_len + 24) <= broadcast_bytes_cap:
+        return "broadcast_ids"
+    return "shuffle"
+
+
 def verify_pairs_text(
     pairs: DataFrame,
     docs: DataFrame,
@@ -67,8 +100,9 @@ def verify_pairs_text(
       fit ``broadcast_bytes_cap``. The row cap alone is not a memory
       bound: real crawl pages average 5–100 KB, so 1M candidate texts can
       be tens of GB — far beyond what the two text broadcasts may collect.
-      The byte estimate costs one limit-pushed sample scan of the docs
-      table (≤ 10k rows).
+      The byte estimate samples the CANDIDATES' text (corpus semi-joined
+      against the broadcast id set, short-circuited by the 10k limit), not
+      the corpus head — see ``_auto_fetch``.
     """
     import numpy as np
     import pandas as pd
@@ -84,23 +118,7 @@ def verify_pairs_text(
         .distinct()
     )
     if fetch == "auto":
-        # one small aggregate job over (ideally persisted) pairs — nothing
-        # corpus-sized runs and nothing collects beyond the single count
-        n_ids = ids.count()
-        fetch = "shuffle"
-        if n_ids <= broadcast_ids_cap:
-            # bound BYTES, not just rows: sample the mean text length
-            # (limit is pushed to the scan — a few parquet pages) and
-            # require the estimated candidate-text broadcast to fit
-            avg_len = (
-                t.select(F.length("_vtx").alias("_l"))
-                .limit(10_000)
-                .agg(F.avg("_l"))
-                .first()[0]
-                or 0.0
-            )
-            if n_ids * (avg_len + 24) <= broadcast_bytes_cap:
-                fetch = "broadcast_ids"
+        fetch = _auto_fetch(ids, t, broadcast_ids_cap, broadcast_bytes_cap)
     if fetch == "broadcast_ids":
         # eager localCheckpoint: BOTH pair joins consume t — without it the
         # corpus scan + semi-join would re-run per side. Blocks are

@@ -108,8 +108,15 @@ class StreamDedup:
     ) -> DataFrame:
         """Candidate pairs Jaccard-verified against document text — the
         same fused kernel as the batch pipeline's verify stage."""
+        # Materialize the pairs aggregation before verify consumes it:
+        # verify's auto path counts distinct candidate ids, samples their
+        # text, and joins the pairs twice — four consumers that would each
+        # re-run the hits-scan → canonicalize → groupBy chain on a lazy
+        # plan. The batch pipeline persists its pairs stage for the same
+        # reason; post-alpha pairs are small, so eager localCheckpoint
+        # (reference-tracked blocks, no session-lifetime leak) fits here.
         return verify_pairs_text(
-            self.pairs(spark),
+            self.pairs(spark).localCheckpoint(eager=True),
             docs,
             self.config.jaccard_threshold,
             self.config.shingle_k,

@@ -91,7 +91,10 @@ class IncrementalDedup:
         # persisted by an older kernel/config would detect zero duplicates
         # with no error — fail loudly before touching the sinks
         check_compat_meta(
-            self.index_dir, self.config.key_hash(), what="stream index"
+            self.index_dir,
+            self.config.key_hash(),
+            what="stream index",
+            layout={"n_shards": self.n_shards},
         )
         spark = batch_df.sparkSession
         buckets = (
@@ -144,6 +147,14 @@ class IncrementalDedup:
                 | (F.col("existing_doc") < F.col("doc_id"))
             )
             .where(F.col("doc_id") != F.col("existing_doc"))
+            # a pair legitimately collides at most once per band (one band
+            # key per band per doc) — but a RE-CRAWLED doc present in both
+            # the accumulated index and the current batch contributes its
+            # buckets to the build side twice (from_index True and False),
+            # which would double-count n_bands and let sub-alpha pairs
+            # through. Per-band dedup restores the alpha semantics (same
+            # fix as streaming/stateful.pairs()).
+            .dropDuplicates(["doc_id", "existing_doc", "band_idx"])
             .groupBy(F.col("doc_id").alias("new_doc"), F.col("existing_doc"))
             .agg(F.count("*").alias("n_bands"))
             .where(F.col("n_bands") >= self.config.alpha)
@@ -155,7 +166,11 @@ class IncrementalDedup:
         write_stage(
             buckets, self.index_dir, "dynamic_overwrite", ["epoch", "shard"]
         )
-        write_compat_meta(self.index_dir, self.config.key_hash())
+        write_compat_meta(
+            self.index_dir,
+            self.config.key_hash(),
+            layout={"n_shards": self.n_shards},
+        )
         if self.record_metrics:
             # Per-epoch lineage + metrics (north rule): per-shard bucket-row
             # counts (the index partitions this epoch wrote) + hit count.

@@ -114,6 +114,12 @@ class IVFIndex:
             F.col(self.emb_col).alias("q_emb"),
             F.explode(probe_udf(F.col(self.emb_col))).alias("cell"),
         )
+        # Eager localCheckpoint: the cell-assignment kernel (an
+        # O(n_queries × n_centroids) matmul + explode) is consumed TWICE —
+        # the distinct-cells collect below and the broadcast join — and
+        # would re-run per consumer without materialization (same pattern
+        # as LSHIndex.query's probe buckets).
+        cq = cq.localCheckpoint(eager=True)
         # BOUNDED driver collect (same loud-bound contract as LSHIndex's
         # shard collect): distinct probed cells ≤ n_centroids by
         # construction, regardless of query count. The isin pushes down to

@@ -131,3 +131,19 @@ def test_cli_clean_boilerplate_kills_false_near_dups(spark, tmp_path, capsys):
     # after cleaning: no false clusters, the real pair still found
     assert all(d not in clean for d in range(4))
     assert clean.get(10) == clean.get(11) == 10
+
+
+def test_cli_plan_only_with_clean_boilerplate_samples_first(
+    spark, tmp_path, capsys
+):
+    """--plan-only --clean-boilerplate must run the boilerplate-clean
+    aggregation over the 10k SAMPLE, not the full corpus (a limit above
+    the clean groupBy cannot prune it) — and still explain a plan."""
+    scfg = SynthConfig(n_docs=100, seed=61)
+    src = str(tmp_path / "pages")
+    generate_pages(spark, scfg).write.parquet(src)
+    out = str(tmp_path / "out")
+    main(["--input", src, "--output", out, "--plan-only",
+          "--clean-boilerplate"])
+    assert "Physical Plan" in capsys.readouterr().out
+    assert not os.path.exists(out)

@@ -132,12 +132,18 @@ def test_incompatible_index_fails_loudly(spark, corpus, index, tmp_path):
         assert json.load(f)["config_hash"] == CFG.key_hash()
     # same ref, different KEY-AFFECTING config (as after a kernel bump)
     other = LSHIndex(
-        DedupConfig(rows_per_band=2, num_bands=8), index.index_ref
+        DedupConfig(rows_per_band=2, num_bands=8), index.index_ref,
+        n_shards=16,
     )
     with pytest.raises(RuntimeError, match="rebuild"):
         other.buckets(spark)
     with pytest.raises(RuntimeError, match="rebuild"):
         other.append(corpus.limit(1))
+    # same config but a different SHARD LAYOUT: shard values are
+    # pmod(hash, n_shards), so a mismatched reader would prune/join
+    # against the wrong partitions — must raise, not return zero rows
+    with pytest.raises(RuntimeError, match="n_shards"):
+        LSHIndex(CFG, index.index_ref, n_shards=64).buckets(spark)
     # an EXECUTION-ONLY knob change (stricter verify threshold, different
     # alpha) does not invalidate the index — the persisted bytes are
     # identical, and re-querying at a new threshold is a supported use
@@ -149,6 +155,7 @@ def test_incompatible_index_fails_loudly(spark, corpus, index, tmp_path):
             alpha=3,
         ),
         index.index_ref,
+        n_shards=16,
     )
     assert requery.buckets(spark).count() > 0
     # matching config keeps working

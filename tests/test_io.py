@@ -105,3 +105,27 @@ def test_catalog_branch_call_contract():
 
     with pytest.raises(ValueError, match="unknown write mode"):
         write_stage(_FakeDF(), "iceberg.crawl.stage", mode="upsert")
+
+
+def test_compat_meta_layout_mismatch(tmp_path):
+    """Layout knobs outside DedupConfig (n_shards: shard = pmod(hash,
+    n_shards)) must gate compat too — a shard-count mismatch silently
+    prunes/joins against the wrong partitions. Markers written before the
+    layout key existed stay tolerated."""
+    import pytest
+
+    from lsh_qd_spark.io import check_compat_meta, write_compat_meta
+
+    ref = str(tmp_path / "idx")
+    write_compat_meta(ref, "h1", layout={"n_shards": 64})
+    check_compat_meta(ref, "h1", layout={"n_shards": 64})  # same: fine
+    check_compat_meta(ref, "h1")  # reader without layout claim: fine
+    with pytest.raises(RuntimeError, match="n_shards 64 vs current 128"):
+        check_compat_meta(ref, "h1", layout={"n_shards": 128})
+    with pytest.raises(RuntimeError, match="config/kernel hash"):
+        check_compat_meta(ref, "h2", layout={"n_shards": 64})
+    # pre-layout marker (no n_shards recorded): tolerated, hash still gates
+    write_compat_meta(ref, "h1")
+    check_compat_meta(ref, "h1", layout={"n_shards": 128})
+    with pytest.raises(RuntimeError):
+        check_compat_meta(ref, "h2", layout={"n_shards": 128})

@@ -168,3 +168,42 @@ def test_per_epoch_metrics_lineage(spark, tmp_path):
     inc.process_batch(pages, epoch_id=0)  # replay
     with open(path) as f:
         assert json.load(f) == m
+
+
+def test_recrawled_doc_does_not_double_count_bands(spark, tmp_path):
+    """A doc present in BOTH the accumulated index and the current batch
+    (re-crawl of the same doc_id) contributes its buckets to the build
+    side twice; n_bands must still count each band once, or sub-alpha
+    pairs leak through the alpha filter."""
+    work = str(tmp_path / "work")
+    cfg = DedupConfig(rows_per_band=2, num_bands=16, alpha=1)
+    inc = IncrementalDedup(cfg, work)
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    b0 = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    inc.process_batch(b0, 0)
+    # epoch 1: doc 0 re-crawled unchanged + an exact dup with a new id
+    b1 = spark.createDataFrame(
+        [(0, text), (1, text)], "doc_id long, text string"
+    )
+    inc.process_batch(b1, 1)
+    hits = {
+        (r["new_doc"], r["existing_doc"]): r["n_bands"]
+        for r in inc.hits(spark).collect()
+    }
+    # exact dup collides in every band — but never MORE than num_bands
+    assert hits, "expected the exact duplicate to be detected"
+    for pair, n_bands in hits.items():
+        assert n_bands <= cfg.num_bands, f"{pair}: n_bands={n_bands}"
+    assert max(hits.values()) == cfg.num_bands
+
+
+def test_shard_layout_mismatch_fails_loudly(spark, tmp_path):
+    """Resuming a stream over an index persisted with a different n_shards
+    would silently join against the wrong partitions (zero recall);
+    process_batch must raise instead."""
+    work = str(tmp_path / "work")
+    cfg = DedupConfig(rows_per_band=2, num_bands=8, alpha=1)
+    b = spark.createDataFrame([(0, "some page text here")], "doc_id long, text string")
+    IncrementalDedup(cfg, work, n_shards=64).process_batch(b, 0)
+    with pytest.raises(RuntimeError, match="n_shards"):
+        IncrementalDedup(cfg, work, n_shards=128).process_batch(b, 1)

@@ -75,3 +75,33 @@ def test_unknown_fetch_mode_rejected(spark, fixture):
         verify_pairs_text(
             cand, pages, CFG.jaccard_threshold, CFG.shingle_k, fetch="bogus"
         )
+
+
+def test_auto_fetch_estimates_candidate_bytes_not_corpus_head(spark):
+    """The auto byte gate must size the broadcast from the CANDIDATES'
+    texts: a corpus whose non-candidate rows are short (or whose scan head
+    is short) must not green-light broadcasting long candidates, and short
+    candidates must still broadcast out of a corpus that contains long
+    non-candidates. Null candidate text counts as 0 bytes."""
+    from lsh_qd_spark.operators.verify import _auto_fetch
+
+    rows = [(i, "ab") for i in range(100)]
+    rows += [(1000 + i, "x" * 10_000) for i in range(50)]
+    docs = spark.createDataFrame(rows, "_vid long, _vtx string")
+    long_ids = spark.createDataFrame(
+        [(1000 + i,) for i in range(50)], "_vid long"
+    )
+    # 50 x ~10KB = ~500KB of candidate text > 100KB cap -> shuffle
+    assert _auto_fetch(long_ids, docs, 1_000_000, 100_000) == "shuffle"
+    short_ids = spark.createDataFrame([(i,) for i in range(100)], "_vid long")
+    # 100 x 2B fits easily even though the corpus holds 10KB docs
+    assert _auto_fetch(short_ids, docs, 1_000_000, 100_000) == "broadcast_ids"
+    # row cap still gates first
+    assert _auto_fetch(short_ids, docs, 10, 100_000) == "shuffle"
+    # all-null candidate text: 0 bytes, broadcast is safe (the kernel sees
+    # empty shingle sets)
+    null_docs = spark.createDataFrame(
+        [(i, None) for i in range(5)], "_vid long, _vtx string"
+    )
+    null_ids = spark.createDataFrame([(i,) for i in range(5)], "_vid long")
+    assert _auto_fetch(null_ids, null_docs, 100, 100_000) == "broadcast_ids"
