@@ -64,6 +64,13 @@ def build_parser() -> argparse.ArgumentParser:
         "rule, operators/clean.py) before dedup — shared navigation/footer "
         "text otherwise manufactures false near-duplicates; batch mode only",
     )
+    p.add_argument(
+        "--latest-per-url",
+        action="store_true",
+        help="collapse re-crawls first: keep only the latest warc_ts "
+        "snapshot per canonical URL (operators/recrawl.py) so near-dup "
+        "detection spends nothing on same-URL duplicates; batch mode only",
+    )
     p.add_argument("--plan-only", action="store_true",
                    help="print the clusters physical plan and exit (no write)")
     return p
@@ -146,7 +153,15 @@ def run_batch(spark, args) -> dict:
             args.text_col,
             F.coalesce(F.col(args.text_col), extract_text(F.col("html"))),
         )
-    clean = None
+    # corpus-prep transforms, applied in order (each is a full-corpus
+    # aggregation, so plan-only must apply them AFTER its sample limit):
+    # exact re-crawl collapse first — it is the cheapest stage and shrinks
+    # everything downstream — then content cleaning
+    preps = []
+    if args.latest_per_url:
+        from lsh_qd_spark.operators.recrawl import latest_snapshot
+
+        preps.append(lambda df: latest_snapshot(df, id_col=args.id_col))
     if args.clean_boilerplate:
         from pyspark.sql import functions as F
 
@@ -157,6 +172,8 @@ def run_batch(spark, args) -> dict:
                 df, text_col=args.text_col, id_col=args.id_col
             ).select(F.col("doc_id").alias(args.id_col), args.text_col)
 
+        preps.append(clean)
+
     if args.plan_only:
         # Plan building is not free of execution here: candidate_pairs
         # eagerly collects oversized-bucket keys and verify's 'auto' fetch
@@ -166,12 +183,12 @@ def run_batch(spark, args) -> dict:
         # Explain over a bounded sample instead: the operator tree is
         # identical (one extra LocalLimit at the scan), the eager parts
         # touch ≤ 10k rows, and nothing is checkpointed. The limit sits
-        # BELOW the boilerplate-clean aggregation: cleaning is a
-        # full-corpus groupBy+join, and a limit applied above it cannot
-        # prune it — sampling first keeps the eager parts bounded.
+        # BELOW the prep aggregations (re-crawl collapse, boilerplate
+        # clean): each is a full-corpus groupBy+join, and a limit applied
+        # above it cannot prune it — sampling first keeps them bounded.
         sample_pages = pages.limit(10_000)
-        if clean is not None:
-            sample_pages = clean(sample_pages)
+        for prep in preps:
+            sample_pages = prep(sample_pages)
         sample_pipe = DedupPipeline(make_config(args), checkpoint_dir=None)
         sample = sample_pipe.run(
             sample_pages,
@@ -181,8 +198,8 @@ def run_batch(spark, args) -> dict:
         )
         sample["clusters"].explain("formatted")
         return {}
-    if clean is not None:
-        pages = clean(pages)
+    for prep in preps:
+        pages = prep(pages)
     pipe = DedupPipeline(make_config(args), checkpoint_dir=args.checkpoint_dir)
     out = pipe.run(
         pages,

@@ -1,0 +1,119 @@
+"""Re-crawl collapse: one surviving snapshot per canonical URL.
+
+A Common-Crawl-style pages table carries every *fetch* of every URL —
+the same page appears once per crawl with a new ``warc_ts`` (and usually
+near-identical text). Feeding all snapshots into near-dup detection
+wastes the expensive stages on duplicates that are already keyed by an
+exact identifier, and pollutes cluster statistics (every page looks like
+an N-member cluster of itself). This stage collapses the table to the
+LATEST snapshot per canonical URL before any hashing runs — the cheap,
+exact complement to MinHash (which then only has to find duplication
+*across* URLs: mirrors, scrapers, boilerplate farms).
+
+URL canonicalization is a pure JVM expression chain (whole-stage
+codegen, no UDF): scheme+host lowercased (path/query stay case-
+sensitive per RFC 3986 §6.2.2.1), fragment dropped, ``www.`` and the
+scheme's default port stripped, tracking query parameters (``utm_*``
+and click ids) removed, surviving parameters sorted so param order
+never splits a URL into two keys, and the trailing slash normalized.
+
+Scale shape (100 TB):
+- the winner election shuffles ONLY ``(canonical_url, ts, id)`` — one
+  groupBy with a map-side-partial ``max_by`` — never text or html
+  payloads (same fetch-late discipline as operators/verify);
+- survivors come back via a semi-join on the id, so the wide columns
+  move zero times; with AQE the near-unique canonical_url key has no
+  skew concern (a single URL re-crawled even thousands of times is a
+  trivially small group);
+- ties on ``warc_ts`` (same page fetched twice in one crawl) break by
+  the highest id — a total order, so reruns are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# query parameters that identify the *visit*, not the resource
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)(=.*)?$"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of ``url`` as one JVM expression tree (no UDF).
+
+    Normalizations (each motivated by a way the SAME resource gets
+    distinct crawl-log spellings): lowercase scheme+host, drop fragment,
+    drop ``www.``, drop the scheme's default port, drop tracking params,
+    sort surviving params, strip the trailing path slash (bare host →
+    ``/``). NULL urls stay NULL so they never merge into one group.
+    """
+    u = F.regexp_replace(F.trim(url), r"#.*$", "")  # fragment first
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")  # trailing slash(es)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.when(
+        pathq.contains("?"), F.regexp_replace(pathq, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda kv: (kv != "") & ~kv.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qpart = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+    return F.when(
+        url.isNull(), F.lit(None).cast("string")
+    ).otherwise(F.concat(scheme, F.lit("://"), host, path, qpart))
+
+
+def latest_snapshot(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Latest crawl snapshot per canonical URL.
+
+    Output: the winning input rows, all columns preserved, plus
+    ``canonical_url`` and ``n_snapshots`` (how many fetches this URL had
+    — 1 for never-re-crawled pages). Rows with a NULL url never compete:
+    each passes through as its own group (``n_snapshots`` 1).
+
+    Two narrow shuffles — the key-only winner election and the id
+    semi-join back — instead of one wide one: the (ts, id, url) triple
+    is tens of bytes while text+html are kilobytes, so electing winners
+    on the skinny projection and fetching wide rows late is the 100 TB
+    shape (see module docstring).
+    """
+    canon = F.coalesce(
+        canonical_url(F.col(url_col)),
+        # NULL url: a per-row unique key so no two null-url rows merge
+        F.concat(F.lit("_null_url_"), F.col(id_col).cast("string")),
+    )
+    skinny = pages.select(
+        F.col(id_col).alias("_rid"),
+        canon.alias("canonical_url"),
+        F.col(ts_col).alias("_rts"),
+    )
+    winners = skinny.groupBy("canonical_url").agg(
+        F.max_by(
+            F.col("_rid"), F.struct(F.col("_rts"), F.col("_rid"))
+        ).alias("_rid"),
+        F.count("*").alias("n_snapshots"),
+    )
+    return pages.join(
+        winners.withColumnRenamed("_rid", id_col), id_col, "inner"
+    )

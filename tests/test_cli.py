@@ -147,3 +147,46 @@ def test_cli_plan_only_with_clean_boilerplate_samples_first(
           "--clean-boilerplate"])
     assert "Physical Plan" in capsys.readouterr().out
     assert not os.path.exists(out)
+
+
+def test_cli_latest_per_url_collapses_recrawls(spark, tmp_path, capsys):
+    """--latest-per-url must collapse same-canonical-URL snapshots BEFORE
+    dedup: two crawls of one URL with near-identical text must yield one
+    surviving doc and no duplicate pair, while a genuine cross-URL dup is
+    still found."""
+    import datetime as dt
+
+    recrawl_text = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    mirror_text = "one two three four five six seven eight nine ten " * 6
+    rows = [
+        # one URL crawled twice (second spelling differs but canonicalizes
+        # equal) — without the flag these two form a near-dup pair
+        (0, "https://s.com/page", dt.datetime(2024, 1, 1), b"",
+         recrawl_text, "en"),
+        (1, "https://www.s.com/page#x", dt.datetime(2024, 2, 1), b"",
+         recrawl_text + " tail", "en"),
+        # genuine cross-URL duplicate pair (unrelated text)
+        (10, "https://m1.com/a", dt.datetime(2024, 1, 1), b"",
+         mirror_text, "en"),
+        (11, "https://m2.com/a", dt.datetime(2024, 1, 1), b"",
+         mirror_text, "en"),
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, url string, warc_ts timestamp, html binary, "
+        "text string, lang string",
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    args = ["--input", src, "--output", out, "--num-bands", "16",
+            "--rows-per-band", "2", "--jaccard-threshold", "0.55",
+            "--max-bucket-size", "50"]
+    main(args + ["--latest-per-url"])
+    ver = spark.read.parquet(f"{out}/verified")
+    pairs = {(r["id_a"], r["id_b"]) for r in ver.collect()}
+    # doc 0 was collapsed away (doc 1 is the later snapshot), so the only
+    # duplicate evidence left is the true cross-URL pair
+    assert pairs == {(10, 11)}
+    survivors = {r["doc_id"] for r in
+                 spark.read.parquet(f"{out}/survivors").collect()}
+    assert 0 not in survivors

@@ -1,0 +1,125 @@
+"""Re-crawl collapse: URL canonicalization + latest-snapshot selection.
+
+Canonicalization cases each encode a real way crawl logs spell the SAME
+resource differently; the selection tests plant multi-snapshot URLs and
+check winner identity, determinism under timestamp ties, and that the
+wide columns survive untouched.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_qd_spark.operators.recrawl import canonical_url, latest_snapshot
+
+CANON_CASES = [
+    # fragment never names a different resource
+    ("https://a.com/x#sec2", "https://a.com/x"),
+    # host case-insensitive, path case-SENSITIVE (RFC 3986)
+    ("HTTPS://A.com/Path", "https://a.com/Path"),
+    ("https://www.a.com/x", "https://a.com/x"),
+    ("http://a.com:80/x", "http://a.com/x"),
+    ("https://a.com:443/x", "https://a.com/x"),
+    # NON-default port is identity
+    ("https://a.com:8443/x", "https://a.com:8443/x"),
+    # tracking params dropped, real params kept and sorted
+    ("https://a.com/x?utm_source=tw&id=3", "https://a.com/x?id=3"),
+    ("https://a.com/x?b=2&a=1", "https://a.com/x?a=1&b=2"),
+    ("https://a.com/x?gclid=abc", "https://a.com/x"),
+    ("https://a.com/x?fbclid=1&a=2", "https://a.com/x?a=2"),
+    # trailing slash and bare host normalize to one spelling
+    ("https://a.com/x/", "https://a.com/x"),
+    ("https://a.com", "https://a.com/"),
+    ("https://a.com/", "https://a.com/"),
+    # utm_ prefix match must not eat unrelated params
+    ("https://a.com/x?utmost=1", "https://a.com/x?utmost=1"),
+]
+
+
+def test_canonical_url_cases(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CANON_CASES)], "i int, u string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url(F.col("u")).alias("c")).collect()
+    }
+    for i, (raw, want) in enumerate(CANON_CASES):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+def test_canonical_url_null_stays_null(spark):
+    df = spark.createDataFrame([(1, None)], "i int, u string")
+    assert (
+        df.select(canonical_url(F.col("u")).alias("c")).first()["c"] is None
+    )
+
+
+def _ts(day: int, hour: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    rows = [
+        # url A: three crawls, spelled three equivalent ways — latest wins
+        (1, "https://a.com/p", _ts(1), b"<h1/>", "a v1", "en"),
+        (2, "https://www.a.com/p", _ts(5), b"<h2/>", "a v2", "en"),
+        (3, "https://a.com/p#top", _ts(3), b"<h3/>", "a v1b", "en"),
+        # url B: ts tie — highest doc_id wins, deterministically
+        (4, "https://b.com/q", _ts(2), b"", "b x", "en"),
+        (5, "https://b.com/q", _ts(2), b"", "b y", "en"),
+        # url C: single crawl
+        (6, "https://c.com/r?z=1", _ts(9), b"", "c", "de"),
+        # null urls never merge with each other
+        (7, None, _ts(1), b"", "n1", "en"),
+        (8, None, _ts(2), b"", "n2", "en"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, url string, warc_ts timestamp, html binary, "
+        "text string, lang string",
+    )
+
+
+def test_latest_snapshot_winners(spark, pages):
+    out = latest_snapshot(pages)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {2, 5, 6, 7, 8}
+    assert rows[2]["n_snapshots"] == 3  # A collapsed across 3 spellings
+    assert rows[5]["n_snapshots"] == 2  # B tie broken to the higher id
+    assert rows[6]["n_snapshots"] == 1
+    assert rows[7]["n_snapshots"] == 1 and rows[8]["n_snapshots"] == 1
+    # wide columns pass through byte-identical (fetch-late join, not agg)
+    assert rows[2]["text"] == "a v2" and bytes(rows[2]["html"]) == b"<h2/>"
+    # schema: input columns + the two additions
+    assert set(out.columns) == set(pages.columns) | {
+        "canonical_url",
+        "n_snapshots",
+    }
+
+
+def test_latest_snapshot_prunes_election_scan(spark, pages, tmp_path):
+    """The winner election must read/shuffle only (id, url, ts): over a
+    parquet table the plan has two scans, and the election-side scan's
+    ReadSchema must carry neither text nor html — those columns move only
+    on the fetch side of the semi-join."""
+    import contextlib
+    import io
+
+    src = str(tmp_path / "pages")
+    pages.write.parquet(src)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        latest_snapshot(spark.read.parquet(src)).explain("formatted")
+    plan = buf.getvalue()
+    schemas = [
+        line.split("ReadSchema:", 1)[1]
+        for line in plan.splitlines()
+        if "ReadSchema:" in line
+    ]
+    assert len(schemas) == 2, plan
+    election = [s for s in schemas if "text" not in s and "html" not in s]
+    assert election, f"no pruned election scan:\n{plan}"
+    assert "url" in election[0] and "warc_ts" in election[0]
