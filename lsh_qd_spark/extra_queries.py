@@ -384,12 +384,100 @@ FROM lens GROUP BY 1, 2 HAVING MAX(run_len) >= {SUFFIX_MIN_OVERLAP}
 """
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl collapse (operators/recrawl.py) as an oracle-checked query.
+
+    The driver tables carry no URL column, so both engines CONSTRUCT one
+    deterministically from doc_id — five spellings per page group (plain /
+    www+fragment / uppercase scheme+host+default port / trailing slash +
+    tracking param / tracking-only query), all of which must canonicalize
+    to one key — then elect the latest snapshot with doc_id as the
+    recency stand-in. The Spark side runs the production operator
+    (regexp-chain canonicalization + skinny max_by election); the DuckDB
+    twin re-derives the canonical form with its own string functions, so
+    the two canonicalizers genuinely cross-check.
+    """
+    from lsh_qd_spark.operators.recrawl import latest_snapshot
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    page = F.col("doc_id") % 100
+    v = F.col("doc_id") % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://example.com/p/"), page))
+        .when(v == 1, F.concat(F.lit("https://www.example.com/p/"), page,
+                               F.lit("#frag")))
+        .when(v == 2, F.concat(F.lit("HTTPS://EXAMPLE.COM:443/p/"), page))
+        .when(v == 3, F.concat(F.lit("https://example.com/p/"), page,
+                               F.lit("/?utm_source=feed")))
+        .otherwise(F.concat(F.lit("https://example.com/p/"), page,
+                            F.lit("?utm_campaign=x&gclid=1")))
+    )
+    pages = d.select("doc_id", url.alias("url"), F.col("doc_id").alias("ts"))
+    return latest_snapshot(pages, ts_col="ts").select(
+        "canonical_url", "doc_id", "n_snapshots"
+    )
+
+
+_SQL_URL_DEDUP = r"""
+WITH urls AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN 'https://example.com/p/' || (doc_id % 100)
+      WHEN 1 THEN 'https://www.example.com/p/' || (doc_id % 100) || '#frag'
+      WHEN 2 THEN 'HTTPS://EXAMPLE.COM:443/p/' || (doc_id % 100)
+      WHEN 3 THEN 'https://example.com/p/' || (doc_id % 100) || '/?utm_source=feed'
+      ELSE 'https://example.com/p/' || (doc_id % 100) || '?utm_campaign=x&gclid=1'
+    END AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                         '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(regexp_replace(url, '#.*$', ''),
+                   '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM urls
+), comps AS (
+  SELECT doc_id, scheme,
+    regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),
+                   '^www\.', '') AS host0,
+    regexp_replace(rest, '^[^/?]*', '') AS pathq
+  FROM parts
+), canon AS (
+  SELECT doc_id, scheme,
+    CASE WHEN scheme = 'http'  THEN regexp_replace(host0, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+         ELSE host0 END AS host,
+    CASE WHEN regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                             '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                             '/+$', '') END AS path,
+    list_sort(list_filter(
+      string_split(CASE WHEN contains(pathq, '?')
+                        THEN regexp_replace(pathq, '^[^?]*\?', '')
+                        ELSE '' END, '&'),
+      kv -> kv <> '' AND NOT regexp_matches(
+        kv, '^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)(=.*)?$')
+    )) AS params
+  FROM comps
+)
+SELECT
+  scheme || '://' || host || path ||
+    CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+         ELSE '' END AS canonical_url,
+  MAX(doc_id) AS doc_id,
+  COUNT(*) AS n_snapshots
+FROM canon
+GROUP BY 1
+"""
+
+
 SPARK_ONLY_QUERIES = {
     "simhash_near_dup": q_simhash_near_dup,
     "pstable_buckets": q_pstable_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "suffix_exact_overlap": q_suffix_exact_overlap,
+    "url_dedup": q_url_dedup,
 }
 
 # DuckDB twins for the extras (built lazily: the SQL embeds ~6k literal
@@ -401,4 +489,5 @@ def extra_sql_queries() -> dict[str, str]:
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "ann_ivf_topk": _sql_ann_ivf_topk(),
         "suffix_exact_overlap": _sql_suffix_exact_overlap(),
+        "url_dedup": _SQL_URL_DEDUP,
     }
