@@ -123,3 +123,34 @@ def test_latest_snapshot_prunes_election_scan(spark, pages, tmp_path):
     election = [s for s in schemas if "text" not in s and "html" not in s]
     assert election, f"no pruned election scan:\n{plan}"
     assert "url" in election[0] and "warc_ts" in election[0]
+
+
+def test_canonical_url_invariance_grid_and_idempotence(spark):
+    """Exhaustive spelling grid of ONE logical resource: every combination
+    of scheme/host case, www, explicit default port, fragment, tracking
+    params, query-param order, and trailing slash must canonicalize to the
+    SAME key — and canonicalization must be a fixpoint (re-canonicalizing
+    the output changes nothing), or re-processing an already-collapsed
+    table would split groups."""
+    import itertools
+
+    variants = []
+    for (scheme, host), port, frag, track, q, slash in itertools.product(
+        [("https", "example.com"), ("HTTPS", "EXAMPLE.com"),
+         ("https", "www.example.com")],
+        ["", ":443"],
+        ["", "#sec"],
+        ["", "utm_source=x&"],
+        ["a=1&b=2", "b=2&a=1"],
+        ["", "/"],
+    ):
+        variants.append(
+            f"{scheme}://{host}{port}/Path/Sub{slash}?{track}{q}{frag}"
+        )
+    df = spark.createDataFrame([(v,) for v in variants], "u string")
+    canon = df.select(canonical_url(F.col("u")).alias("c"))
+    got = {r["c"] for r in canon.collect()}
+    assert got == {"https://example.com/Path/Sub?a=1&b=2"}, got
+    # fixpoint: canonicalizing the canonical form is the identity
+    twice = canon.select(canonical_url(F.col("c")).alias("c2")).collect()
+    assert {r["c2"] for r in twice} == got
