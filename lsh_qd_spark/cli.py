@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
         "snapshot per canonical URL (operators/recrawl.py) so near-dup "
         "detection spends nothing on same-URL duplicates; batch mode only",
     )
+    p.add_argument("--url-col", default="url",
+                   help="URL column for --latest-per-url")
+    p.add_argument("--ts-col", default="warc_ts",
+                   help="crawl-timestamp column for --latest-per-url")
     p.add_argument("--plan-only", action="store_true",
                    help="print the clusters physical plan and exit (no write)")
     return p
@@ -161,7 +165,14 @@ def run_batch(spark, args) -> dict:
     if args.latest_per_url:
         from lsh_qd_spark.operators.recrawl import latest_snapshot
 
-        preps.append(lambda df: latest_snapshot(df, id_col=args.id_col))
+        preps.append(
+            lambda df: latest_snapshot(
+                df,
+                url_col=args.url_col,
+                ts_col=args.ts_col,
+                id_col=args.id_col,
+            )
+        )
     if args.clean_boilerplate:
         from pyspark.sql import functions as F
 
@@ -226,6 +237,8 @@ def run_streaming(spark, args) -> dict:
         raise SystemExit("--extract-html is batch-mode only")
     if args.clean_boilerplate:
         raise SystemExit("--clean-boilerplate is batch-mode only")
+    if args.latest_per_url:
+        raise SystemExit("--latest-per-url is batch-mode only")
     sd = stream_dedup(make_config(args), args.checkpoint_dir, mode=args.mode)
     q = sd.start(spark, args.input)
     q.awaitTermination()

@@ -74,8 +74,14 @@ def canonical_url(url: Column) -> Column:
         F.size(params) > 0,
         F.concat(F.lit("?"), F.array_join(params, "&")),
     ).otherwise(F.lit(""))
+    # NULL for anything that is not an absolute scheme://host URL — empty
+    # strings, whitespace, relative paths, 'example.com/x'. Without this,
+    # every blank url in a dirty crawl extract canonicalizes to the SAME
+    # synthetic ':///' key and latest_snapshot would silently merge (and
+    # drop all but one of) thousands of unrelated documents.
     return F.when(
-        url.isNull(), F.lit(None).cast("string")
+        url.isNull() | (scheme == "") | (host == ""),
+        F.lit(None).cast("string"),
     ).otherwise(F.concat(scheme, F.lit("://"), host, path, qpart))
 
 
@@ -88,9 +94,20 @@ def latest_snapshot(
     """Latest crawl snapshot per canonical URL.
 
     Output: the winning input rows, all columns preserved, plus
-    ``canonical_url`` and ``n_snapshots`` (how many fetches this URL had
-    — 1 for never-re-crawled pages). Rows with a NULL url never compete:
-    each passes through as its own group (``n_snapshots`` 1).
+    ``canonical_url`` (NULL when the url was NULL/blank/not an absolute
+    URL — never a fabricated key) and ``n_snapshots`` (how many fetches
+    this URL had — 1 for never-re-crawled pages). Rows whose url does not
+    canonicalize never compete: each passes through as its own group.
+
+    Precondition: ``id_col`` is unique per ROW (the standard crawl-table
+    shape — one row id per fetch). If re-crawls reuse the same id, the
+    winner join matches every snapshot of that id and the collapse is a
+    no-op for them; cross-batch same-id re-crawls are the streaming
+    pipeline's job (streaming/incremental.py), not this operator's.
+
+    Idempotent: pre-existing ``canonical_url``/``n_snapshots`` columns
+    (a re-run over an already-collapsed table) are dropped and recomputed
+    rather than duplicated.
 
     Two narrow shuffles — the key-only winner election and the id
     semi-join back — instead of one wide one: the (ts, id, url) triple
@@ -98,21 +115,30 @@ def latest_snapshot(
     on the skinny projection and fetching wide rows late is the 100 TB
     shape (see module docstring).
     """
-    canon = F.coalesce(
-        canonical_url(F.col(url_col)),
-        # NULL url: a per-row unique key so no two null-url rows merge
-        F.concat(F.lit("_null_url_"), F.col(id_col).cast("string")),
-    )
+    pages = pages.drop("canonical_url", "n_snapshots")
+    canon = canonical_url(F.col(url_col))
     skinny = pages.select(
         F.col(id_col).alias("_rid"),
         canon.alias("canonical_url"),
+        # non-canonicalizable urls get a per-row unique GROUP key so no
+        # two of them merge; the exposed canonical_url stays NULL
+        F.coalesce(
+            canon, F.concat(F.lit("_null_url_"), F.col(id_col).cast("string"))
+        ).alias("_gkey"),
         F.col(ts_col).alias("_rts"),
     )
-    winners = skinny.groupBy("canonical_url").agg(
-        F.max_by(
-            F.col("_rid"), F.struct(F.col("_rts"), F.col("_rid"))
-        ).alias("_rid"),
-        F.count("*").alias("n_snapshots"),
+    winners = (
+        skinny.groupBy("_gkey")
+        .agg(
+            F.max_by(
+                F.col("_rid"), F.struct(F.col("_rts"), F.col("_rid"))
+            ).alias("_rid"),
+            F.count("*").alias("n_snapshots"),
+            # all group members share one canonical_url (it IS the group
+            # key when non-null); max() of all-NULLs stays NULL
+            F.max("canonical_url").alias("canonical_url"),
+        )
+        .drop("_gkey")
     )
     return pages.join(
         winners.withColumnRenamed("_rid", id_col), id_col, "inner"

@@ -34,6 +34,13 @@ CANON_CASES = [
     ("https://a.com/", "https://a.com/"),
     # utm_ prefix match must not eat unrelated params
     ("https://a.com/x?utmost=1", "https://a.com/x?utmost=1"),
+    # NOT absolute URLs → NULL, never a shared synthetic key (an empty-
+    # string url in a dirty extract must not merge unrelated documents)
+    ("", None),
+    ("   ", None),
+    ("example.com/x", None),
+    ("/relative/path", None),
+    ("://missing.scheme/x", None),
 ]
 
 
@@ -91,6 +98,10 @@ def test_latest_snapshot_winners(spark, pages):
     assert rows[5]["n_snapshots"] == 2  # B tie broken to the higher id
     assert rows[6]["n_snapshots"] == 1
     assert rows[7]["n_snapshots"] == 1 and rows[8]["n_snapshots"] == 1
+    # null urls expose NULL canonical_url, not a fabricated key
+    assert rows[7]["canonical_url"] is None
+    assert rows[8]["canonical_url"] is None
+    assert rows[2]["canonical_url"] == "https://a.com/p"
     # wide columns pass through byte-identical (fetch-late join, not agg)
     assert rows[2]["text"] == "a v2" and bytes(rows[2]["html"]) == b"<h2/>"
     # schema: input columns + the two additions
@@ -154,3 +165,29 @@ def test_canonical_url_invariance_grid_and_idempotence(spark):
     # fixpoint: canonicalizing the canonical form is the identity
     twice = canon.select(canonical_url(F.col("c")).alias("c2")).collect()
     assert {r["c2"] for r in twice} == got
+
+
+def test_latest_snapshot_rerun_is_identity(spark, pages):
+    """Re-collapsing an already-collapsed table must be well-defined (no
+    duplicate canonical_url/n_snapshots columns) and keep every row: all
+    groups are singletons the second time."""
+    once = latest_snapshot(pages)
+    twice = latest_snapshot(once)
+    assert twice.columns.count("canonical_url") == 1
+    assert twice.columns.count("n_snapshots") == 1
+    ids_once = {r["doc_id"] for r in once.collect()}
+    got = {r["doc_id"]: r["n_snapshots"] for r in twice.collect()}
+    assert set(got) == ids_once
+    assert all(n == 1 for n in got.values())
+
+
+def test_latest_per_url_rejected_in_streaming_mode(tmp_path):
+    """Streaming modes must reject --latest-per-url loudly like the other
+    batch-only prep flags, not silently skip the collapse."""
+    from lsh_qd_spark.cli import main
+
+    with pytest.raises(SystemExit, match="latest-per-url"):
+        main(["--input", str(tmp_path / "in"), "--output",
+              str(tmp_path / "out"), "--mode", "incremental",
+              "--checkpoint-dir", str(tmp_path / "ck"),
+              "--latest-per-url"])
