@@ -52,6 +52,8 @@ def canonical_url(url: Column) -> Column:
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
     hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
     host = F.regexp_replace(hostport, r"^www\.", "")
+    # DNS-rooted FQDN spelling: 'example.com.' names the same host
+    host = F.regexp_replace(host, r"\.+(?=$|:)", "")
     host = (
         F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
         .when(scheme == "https", F.regexp_replace(host, r":443$", ""))

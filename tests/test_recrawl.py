@@ -34,6 +34,9 @@ CANON_CASES = [
     ("https://a.com/", "https://a.com/"),
     # utm_ prefix match must not eat unrelated params
     ("https://a.com/x?utmost=1", "https://a.com/x?utmost=1"),
+    # DNS-rooted FQDN trailing dot names the same host
+    ("https://a.com./x", "https://a.com/x"),
+    ("https://a.com.:443/x", "https://a.com/x"),
     # NOT absolute URLs → NULL, never a shared synthetic key (an empty-
     # string url in a dirty extract must not merge unrelated documents)
     ("", None),
