@@ -438,8 +438,12 @@ WITH urls AS (
   FROM urls
 ), comps AS (
   SELECT doc_id, scheme,
-    regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),
-                   '^www\.', '') AS host0,
+    -- FQDN trailing-dot strip split in two (RE2 has no lookahead):
+    -- dots before the port colon, then dots at end of host
+    regexp_replace(regexp_replace(
+      regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),
+                     '^www\.', ''),
+      '\.+:', ':'), '\.+$', '') AS host0,
     regexp_replace(rest, '^[^/?]*', '') AS pathq
   FROM parts
 ), canon AS (
