@@ -384,6 +384,125 @@ def worker(
     spark.stop()
 
 
+def _pkg_zip() -> str:
+    """Zip the ``lsh_qd_spark`` package for shipping to executor python
+    workers — the programmatic equivalent of ``spark-submit --py-files``
+    (the north rule's stated launch surface). Rebuilt on every call
+    (<100 ms) and swapped in atomically so an overlapping watcher run
+    never reads a half-written archive."""
+    import zipfile
+
+    path = "/tmp/lsh_qd_spark_pkg.zip"
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp, "w") as z:
+        pkg = os.path.join(REPO, "lsh_qd_spark")
+        for root, dirs, files in os.walk(pkg):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, REPO))
+    os.replace(tmp, path)
+    return path
+
+
+def _session_cluster(n_exec: int, cores: int, mem_mb: int):
+    """SparkSession on ``local-cluster[n,cores,mem]`` — REAL separate
+    executor JVMs (netty shuffle, cross-process serialization, per-executor
+    memory), not threads in the driver. The closest in-sandbox analog of
+    "N executors vs 4N executors" the north rule's scaling criterion is
+    phrased in. The package zip is added up front: executor python workers
+    import the pandas-UDF kernels by module reference, exactly as they
+    would from ``spark-submit --py-files`` on a real cluster."""
+    from lsh_qd_spark.config import RuntimeConfig
+    from lsh_qd_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench_cluster{n_exec}x{cores}",
+        master=f"local-cluster[{n_exec},{cores},{mem_mb}]",
+        runtime=RuntimeConfig(
+            shuffle_partitions=max(8, 2 * n_exec * cores),
+            extra_confs={
+                "spark.executor.memory": f"{mem_mb}m",
+                # status API = achieved-concurrency instrument (as _session)
+                "spark.ui.enabled": "true",
+            },
+        ),
+    )
+    spark.sparkContext.addPyFile(_pkg_zip())
+    return spark
+
+
+def cluster_worker(
+    n_exec: int,
+    cores: int,
+    out_path: str,
+    n_trials: int | None = None,
+    n_docs: int | None = None,
+    mem_mb: int = 6144,
+) -> None:
+    """Fresh-JVM measurement on a multi-executor topology (mirrors
+    ``worker()`` but with real executor processes)."""
+    spark = _session_cluster(n_exec, cores, mem_mb)
+    path = _ensure_corpus(spark, n_docs or BENCH_DOCS)
+    from lsh_qd_spark.config import DedupConfig
+    from lsh_qd_spark.plans.pipeline import DedupPipeline
+
+    # warm-up outside the timed window: executor registration, python
+    # worker spawn, Arrow codepaths
+    DedupPipeline(DedupConfig(**BENCH_CFG)).signatures_from_text(
+        spark.read.parquet(path).limit(2000)
+    ).count()
+    secs: list[float] = []
+    concs: list[float] = []
+    n_pages = 0
+    for _ in range(n_trials or SCALE_TRIALS):
+        n_pages, s, conc = run_dedup_job(spark, path)
+        secs.append(s)
+        if conc is not None:
+            concs.append(conc)
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "n_executors": n_exec,
+                "cores_per_executor": cores,
+                "n_pages": n_pages,
+                "sec": _median(secs),
+                "trials": secs,
+                "achieved_concurrency": _median(concs) if concs else None,
+            },
+            f,
+        )
+    spark.stop()
+
+
+def _run_cluster_worker(
+    n_exec: int, cores: int, n_docs: int, mem_mb: int = 6144
+) -> dict:
+    """Child-process launch of ``cluster_worker`` (fresh JVM per leg, same
+    discipline as ``_run_worker``)."""
+    out_path = f"/tmp/lsh_qd_bench_cluster_{n_exec}x{cores}.json"
+    cmd = [
+        sys.executable,
+        os.path.abspath(__file__),
+        "--cluster-worker",
+        str(n_exec),
+        str(cores),
+        out_path,
+        "1",
+        str(n_docs),
+        str(mem_mb),
+    ]
+    proc = subprocess.run(cmd, capture_output=True, timeout=1500, cwd=REPO)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr.decode()[-2000:])
+        raise RuntimeError(
+            f"cluster worker local-cluster[{n_exec},{cores}] failed"
+        )
+    with open(out_path) as f:
+        return json.load(f)
+
+
 def _run_worker(
     cpus: int,
     n_trials: int | None = None,
@@ -641,7 +760,9 @@ def update_best_scaling(s: dict | None) -> dict | None:
                 keep_wg = {
                     k: v
                     for k, v in (best or {}).items()
-                    if k.startswith(("within_grant_best", "headline_best"))
+                    if k.startswith(
+                        ("within_grant_best", "headline_best", "cluster_sim_best")
+                    )
                 }
                 best = dict(s)
                 best.pop("within_grant", None)
@@ -788,6 +909,105 @@ def headline_only() -> dict:
     return rec
 
 
+def update_best_cluster_sim(rec: dict | None) -> dict:
+    """Ratchet the best multi-executor (local-cluster) scaling pair into
+    best_scaling.json — one slot per (executors_n, executors_4n, cores)
+    topology, lexicographic (corpus size, efficiency) like the within-grant
+    slots. Returns the cluster_sim slots currently on disk."""
+    import fcntl
+
+    os.makedirs(os.path.dirname(BEST_SCALING_PATH), exist_ok=True)
+    with open(BEST_SCALING_PATH + ".lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        best = {}
+        if os.path.exists(BEST_SCALING_PATH):
+            with open(BEST_SCALING_PATH) as f:
+                best = json.load(f)
+        if rec and rec.get("scaling_efficiency_n_to_4n") is not None:
+            slot = (
+                f"cluster_sim_best_{rec['executors_n']}x"
+                f"{rec['executors_4n']}c{rec['cores_per_executor']}"
+            )
+            prev = best.get(slot)
+            if prev is None or (
+                rec.get("n_pages", 0),
+                rec["scaling_efficiency_n_to_4n"],
+            ) > (
+                prev.get("n_pages", 0),
+                prev["scaling_efficiency_n_to_4n"],
+            ):
+                now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+                best[slot] = dict(rec, recorded_at=now)
+                with open(BEST_SCALING_PATH, "w") as f:
+                    json.dump(best, f, indent=2)
+        return {k: v for k, v in best.items() if k.startswith("cluster_sim")}
+
+
+def cluster_sim_only(
+    n_docs: int,
+    rounds: int = 3,
+    execs: tuple[int, int] = (1, 4),
+    cores: int = 2,
+    mem_mb: int = 6144,
+) -> dict:
+    """Standalone multi-executor scaling measurement
+    (``--cluster-sim [n_docs] [N:4N] [cores]``): the dedup job on
+    ``local-cluster[N,cores,mem]`` vs ``local-cluster[4N,cores,mem]`` —
+    real separate executor JVMs, the literal "N and 4N executors" shape of
+    the north rule, where the primary pair proxies executors with driver
+    threads. Interleaved rounds, per-round probes, fresh JVM per leg, and
+    the package shipped to executors as a zip (the --py-files surface).
+    Ratchets into best_scaling.json under ``cluster_sim_best_*``."""
+    lo, hi = execs
+    if hi != 4 * lo:
+        raise ValueError(f"executor pair must be N:4N, got {lo}:{hi}")
+    spark = _session(4)
+    _ensure_corpus(spark, n_docs)
+    spark.stop()
+    ratios, probes, r1s, r4s = [], [], [], []
+    c1s, c4s = [], []
+    for _ in range(rounds):
+        probes.append(weather_probe())
+        r1 = _run_cluster_worker(lo, cores, n_docs, mem_mb)
+        r4 = _run_cluster_worker(hi, cores, n_docs, mem_mb)
+        r1s.append(r1["sec"])
+        r4s.append(r4["sec"])
+        for rr, acc in ((r1, c1s), (r4, c4s)):
+            if rr.get("achieved_concurrency") is not None:
+                acc.append(rr["achieved_concurrency"])
+        ratios.append((r1["sec"] / r4["sec"]) / (hi / lo))
+    rec = {
+        "note": (
+            "multi-executor pair (--cluster-sim): local-cluster topology, "
+            "separate executor JVMs, package shipped via py-files zip"
+        ),
+        "n_pages": n_docs,
+        "executors_n": lo,
+        "executors_4n": hi,
+        "cores_per_executor": cores,
+        "n_sec": round(_median(r1s), 2),
+        "4n_sec": round(_median(r4s), 2),
+        "scaling_efficiency_n_to_4n": round(_median(ratios), 3),
+        "round_ratios": [round(r, 3) for r in ratios],
+        "round_probes": probes,
+        "n_achieved_concurrency": _median(c1s) if c1s else None,
+        "4n_achieved_concurrency": _median(c4s) if c4s else None,
+    }
+    update_best_cluster_sim(rec)
+    # refresh the payload cache + BASELINE.md so a ratcheted record ships
+    # in the next driver artifact (same pattern as --wg-only)
+    cache = os.path.join(REPO, "BENCH", "payload.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            payload = json.load(f)
+        payload["scaling_best_recorded"] = update_best_scaling(None)
+        with open(cache, "w") as f:
+            json.dump(payload, f, indent=2)
+        write_bench_md(payload)
+    print(json.dumps(rec))
+    return rec
+
+
 def _trial_rows() -> list[str]:
     """Raw per-parallelism trials from the worker output files."""
     rows = []
@@ -821,6 +1041,30 @@ def _wg_best_lines(b: dict) -> list[str]:
             f"(BENCH/best_scaling.json `{key}`): efficiency {eff}**"
             + (" — MEETS the ≥ 0.8 target" if (eff or 0) >= 0.8 else "")
             + f": local[{w.get('cpus_n')}] → local[{w.get('cpus_4n')}] at "
+            f"{w.get('n_pages')} pages ({w.get('n_sec')}s → "
+            f"{w.get('4n_sec')}s), probe(s) {probes} effective cores, "
+            f"recorded {w.get('recorded_at')}.",
+            "",
+        ]
+    return lines
+
+
+def _cluster_sim_lines(b: dict) -> list[str]:
+    """One markdown paragraph per recorded multi-executor best slot —
+    real local-cluster executor JVMs, the literal N→4N-executors shape."""
+    lines: list[str] = []
+    for key in sorted(k for k in b if k.startswith("cluster_sim_best")):
+        w = b[key]
+        eff = w.get("scaling_efficiency_n_to_4n")
+        probes = str([p.get("effective_cores") for p in (w.get("round_probes") or [])])
+        lines += [
+            "**Best recorded MULTI-EXECUTOR N→4N pair "
+            f"(BENCH/best_scaling.json `{key}`): efficiency {eff}**"
+            + (" — MEETS the ≥ 0.8 target" if (eff or 0) >= 0.8 else "")
+            + f": local-cluster {w.get('executors_n')} executor(s) → "
+            f"{w.get('executors_4n')} executors × "
+            f"{w.get('cores_per_executor')} cores each (separate executor "
+            f"JVMs, package shipped as a py-files zip) at "
             f"{w.get('n_pages')} pages ({w.get('n_sec')}s → "
             f"{w.get('4n_sec')}s), probe(s) {probes} effective cores, "
             f"recorded {w.get('recorded_at')}.",
@@ -916,6 +1160,7 @@ def write_bench_md(payload: dict) -> None:
             else []
         ),
         *_wg_best_lines(b),
+        *_cluster_sim_lines(b),
         "Historical ceiling: one genuinely quiet round-2 window (commit "
         "fd5cdec, before the probe-attached ratchet existed) measured "
         "**0.961** on the standard 3M-page 4→16 pair — 163.4 s → 42.5 s, "
@@ -1034,6 +1279,32 @@ def main() -> None:
         n_trials = int(sys.argv[4]) if len(sys.argv) >= 5 else None
         n_docs = int(sys.argv[5]) if len(sys.argv) >= 6 else None
         worker(int(sys.argv[2]), sys.argv[3], n_trials, n_docs)
+        return
+    if len(sys.argv) >= 5 and sys.argv[1] == "--cluster-worker":
+        cluster_worker(
+            int(sys.argv[2]),
+            int(sys.argv[3]),
+            sys.argv[4],
+            int(sys.argv[5]) if len(sys.argv) >= 6 else None,
+            int(sys.argv[6]) if len(sys.argv) >= 7 else None,
+            int(sys.argv[7]) if len(sys.argv) >= 8 else 6144,
+        )
+        return
+    if "--cluster-sim" in sys.argv:
+        i = sys.argv.index("--cluster-sim")
+        rest = sys.argv[i + 1 : i + 4]
+        execs = (1, 4)
+        for a in rest:
+            if ":" in a and not a.startswith("-"):
+                lo, hi = a.split(":", 1)
+                execs = (int(lo), int(hi))
+        # positionals: [n_docs] [N:4N] [cores] — n_docs is the first bare
+        # integer ≥ 1000 (a bare small integer alone means cores)
+        bare = [int(a) for a in rest if a.isdigit()]
+        n_docs = next((b for b in bare if b >= 1000), 1_000_000)
+        small = [b for b in bare if b < 1000]
+        cores = small[-1] if small else 2
+        cluster_sim_only(n_docs, execs=execs, cores=cores)
         return
     if "--wg-only" in sys.argv:
         i = sys.argv.index("--wg-only")

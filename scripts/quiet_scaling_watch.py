@@ -47,6 +47,11 @@ def best_wg_2x8() -> float | None:
     return rec.get("scaling_efficiency_n_to_4n")
 
 
+def best_cluster_sim() -> float | None:
+    rec = _best().get("cluster_sim_best_1x4c2") or {}
+    return rec.get("scaling_efficiency_n_to_4n")
+
+
 def main() -> None:
     while time.time() < DEADLINE:
         best = best_recorded()
@@ -67,10 +72,17 @@ def main() -> None:
             # headline first: ~2 min for a probe-attached headline_best
             # attempt before committing the window to a ~25-min scaling run
             runs = [["--headline-only"], ["--scaling-only"]]
-        elif cores >= WG_MIN_CORES and (wg28 is None or wg28 < TARGET):
+        elif cores >= WG_MIN_CORES:
             # the host never grants the full 16 today; bank the widest
-            # N->4N pair the grant covers instead of waiting forever
-            runs = [["--wg-only", "3000000", "2:8"]]
+            # N->4N pair the grant covers instead of waiting forever,
+            # and the multi-executor (local-cluster) pair — the literal
+            # "N vs 4N executors" shape — whose 4N leg (4 execs x 2
+            # cores) also fits an ~8-core grant
+            if wg28 is None or wg28 < TARGET:
+                runs.append(["--wg-only", "3000000", "2:8"])
+            cs = best_cluster_sim()
+            if cs is None or cs < TARGET:
+                runs.append(["--cluster-sim", "1000000", "1:4", "2"])
         for args in runs:
             env = dict(
                 os.environ,
