@@ -633,6 +633,11 @@ def run_scaling(deadline: float | None = None) -> dict:
         "scaling_efficiency_n_to_4n": round(_median(ratios), 3),
         "round_ratios": [round(r, 3) for r in ratios],
         "round_probes": probes,
+        # raw per-level trials travel IN the payload (the /tmp worker files
+        # BASELINE.md's trials table reads are wiped on host reboot, which
+        # silently emptied the table once)
+        "n_trials": [round(t, 2) for t in trials[n]],
+        "4n_trials": [round(t, 2) for t in trials[n4]],
         # achieved task concurrency (executor-task-sec / wall-sec, median
         # across rounds): the host-independent scaling instrument — ~cpus
         # at both levels means the ENGINE filled every granted slot and
@@ -1008,8 +1013,10 @@ def cluster_sim_only(
     return rec
 
 
-def _trial_rows() -> list[str]:
-    """Raw per-parallelism trials from the worker output files."""
+def _trial_rows(s: dict | None = None) -> list[str]:
+    """Raw per-parallelism trials from the worker output files, falling
+    back to the trials embedded in the scaling payload (the /tmp files do
+    not survive a host reboot; the payload does)."""
     rows = []
     for cpus in sorted({*SCALE_CPUS, CPUS}):
         path = f"/tmp/lsh_qd_bench_scale_{cpus}.json"
@@ -1019,6 +1026,12 @@ def _trial_rows() -> list[str]:
             d = json.load(f)
         trials = ", ".join(f"{t:.1f}" for t in d.get("trials", []))
         rows.append(f"| local[{cpus}] | {trials} | {d['sec']:.1f} |")
+    if not rows and s:
+        for key, cpus in (("n_trials", s.get("cpus_n")), ("4n_trials", s.get("cpus_4n"))):
+            ts = s.get(key)
+            if ts:
+                trials = ", ".join(f"{t:.1f}" for t in ts)
+                rows.append(f"| local[{cpus}] | {trials} | {_median(ts):.1f} |")
     return rows
 
 
@@ -1219,7 +1232,7 @@ def write_bench_md(payload: dict) -> None:
         "",
         "| parallelism | trials | median |",
         "|---|---|---|",
-        *_trial_rows(),
+        *_trial_rows(s),
         "",
         "The sandbox shares its host (steal-time spikes show up as trial",
         "outliers); median absorbs them where a single cold run or min-of-N",

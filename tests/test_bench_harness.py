@@ -336,3 +336,49 @@ def test_headline_only_ratchets_and_refreshes_payload(monkeypatch, tmp_path):
     assert (
         payload["headline_best_recorded"]["pages_per_sec"] == 50000.0
     )
+
+
+def _cluster_sim(eff, n_pages=1_000_000, execs=(1, 4), cores=2):
+    return {
+        "scaling_efficiency_n_to_4n": eff,
+        "n_pages": n_pages,
+        "executors_n": execs[0],
+        "executors_4n": execs[1],
+        "cores_per_executor": cores,
+        "round_probes": [{"effective_cores": 8.0}],
+    }
+
+
+def test_cluster_sim_ratchet(monkeypatch, tmp_path):
+    """Multi-executor (local-cluster) records keep one slot per topology,
+    ratcheted lexicographically (corpus size, then efficiency), and a new
+    primary best must not discard them."""
+    path = str(tmp_path / "best.json")
+    monkeypatch.setattr(bench, "BEST_SCALING_PATH", path)
+    # first record lands with a timestamp
+    b = bench.update_best_cluster_sim(_cluster_sim(0.4))
+    assert b["cluster_sim_best_1x4c2"]["scaling_efficiency_n_to_4n"] == 0.4
+    assert "recorded_at" in b["cluster_sim_best_1x4c2"]
+    # worse efficiency at the same corpus does not overwrite
+    b = bench.update_best_cluster_sim(_cluster_sim(0.3))
+    assert b["cluster_sim_best_1x4c2"]["scaling_efficiency_n_to_4n"] == 0.4
+    # better does
+    b = bench.update_best_cluster_sim(_cluster_sim(0.7))
+    assert b["cluster_sim_best_1x4c2"]["scaling_efficiency_n_to_4n"] == 0.7
+    # larger corpus beats a higher-efficiency smaller one (lower Amdahl
+    # floor = strictly stronger evidence; same rule as within-grant slots)
+    b = bench.update_best_cluster_sim(_cluster_sim(0.5, n_pages=3_000_000))
+    assert b["cluster_sim_best_1x4c2"]["scaling_efficiency_n_to_4n"] == 0.5
+    assert b["cluster_sim_best_1x4c2"]["n_pages"] == 3_000_000
+    # a different topology gets its own slot
+    b = bench.update_best_cluster_sim(_cluster_sim(0.6, execs=(2, 8)))
+    assert b["cluster_sim_best_2x8c2"]["scaling_efficiency_n_to_4n"] == 0.6
+    assert b["cluster_sim_best_1x4c2"]["scaling_efficiency_n_to_4n"] == 0.5
+    # a new primary best preserves cluster_sim slots (keep-filter)
+    best = bench.update_best_scaling(_scaling(0.9))
+    assert best["scaling_efficiency_n_to_4n"] == 0.9
+    assert best["cluster_sim_best_1x4c2"]["scaling_efficiency_n_to_4n"] == 0.5
+    assert best["cluster_sim_best_2x8c2"]["scaling_efficiency_n_to_4n"] == 0.6
+    # None is a pure read
+    b = bench.update_best_cluster_sim(None)
+    assert set(b) == {"cluster_sim_best_1x4c2", "cluster_sim_best_2x8c2"}
