@@ -72,6 +72,11 @@ def main() -> None:
             # headline first: ~2 min for a probe-attached headline_best
             # attempt before committing the window to a ~25-min scaling run
             runs = [["--headline-only"], ["--scaling-only"]]
+            # a ≥12-core window is also the BEST window for the
+            # multi-executor pair — don't starve it to the [8,12) band
+            cs = best_cluster_sim()
+            if cs is None or cs < TARGET:
+                runs.append(["--cluster-sim", "1000000", "1:4", "2"])
         elif cores >= WG_MIN_CORES:
             # the host never grants the full 16 today; bank the widest
             # N->4N pair the grant covers instead of waiting forever,
