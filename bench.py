@@ -1123,8 +1123,20 @@ def _cluster_sim_lines(b: dict) -> list[str]:
             f"{w.get('cores_per_executor')} cores each (separate executor "
             f"JVMs, package shipped as a py-files zip) at "
             f"{w.get('n_pages')} pages ({w.get('n_sec')}s → "
-            f"{w.get('4n_sec')}s), probe(s) {probes} effective cores, "
-            f"recorded {w.get('recorded_at')}.",
+            f"{w.get('4n_sec')}s), probe(s) {probes} effective cores"
+            + (
+                f", achieved task concurrency "
+                f"{round(w['n_achieved_concurrency'], 2)} of "
+                f"{w.get('executors_n', 0) * w.get('cores_per_executor', 0)} "
+                f"(N) / {w.get('4n_achieved_concurrency')} of "
+                f"{w.get('executors_4n', 0) * w.get('cores_per_executor', 0)}"
+                " (4N) task slots filled — a 4N leg short of its slots "
+                "localizes the ratio shortfall in the host grant"
+                if w.get("4n_achieved_concurrency") is not None
+                and w.get("n_achieved_concurrency") is not None
+                else ""
+            )
+            + f", recorded {w.get('recorded_at')}.",
             "",
         ]
     return lines
