@@ -43,7 +43,7 @@ def test_minhash_joint_matches_reference(reference_module):
     )
     got = plan_minhash_joint(POSI_DISTS, FALSE_DISTS, 0.90, 0.10)
     assert (got.k, got.l) == (int(ref_k), int(ref_l))
-    assert list(got.alphas) == [int(a) for a in ref_alphas]
+    assert list(got.alphas) == [int(np.asarray(a).item()) for a in ref_alphas]
 
 
 def test_valid_kl_grid_matches_reference(reference_module):
@@ -62,7 +62,7 @@ def test_alpha_search_matches_reference(reference_module):
             k, l, 0.10, 0.35, posi_rate=0.90, false_rate=0.10
         )
         got = greatest_valid_alpha(k, l, 0.90, 0.65, 0.90, 0.10)
-        assert got == int(ref_a)
+        assert got == int(np.asarray(ref_a).item())
     assert greatest_valid_alpha(2, 10, 0.90, 0.65, 0.90, 0.10) is None
 
 
@@ -74,7 +74,7 @@ def test_pstable_alpha_matches_reference(reference_module):
         ref_a = reference_module.get_alpha_pstable(
             plan.r, plan.k, plan.l, pd, fd, posi_rate=0.90, false_rate=0.10
         )
-        assert mine == int(ref_a)
+        assert mine == int(np.asarray(ref_a).item())
 
 
 def test_joint_alphas_monotone_tighter_ball_larger_alpha():
