@@ -71,6 +71,23 @@ def build_parser() -> argparse.ArgumentParser:
         "snapshot per canonical URL (operators/recrawl.py) so near-dup "
         "detection spends nothing on same-URL duplicates; batch mode only",
     )
+    p.add_argument(
+        "--redact-pii",
+        action="store_true",
+        help="mask emails/IPv4s/phone numbers with typed placeholders "
+        "(operators/redact.py; adds n_email/n_ipv4/n_phone audit columns) "
+        "before dedup; batch mode only",
+    )
+    p.add_argument(
+        "--decontam-eval",
+        default=None,
+        help="eval/benchmark table (path or catalog id): drop documents "
+        "sharing >= --decontam-min-shared distinct --decontam-k-grams "
+        "with it (operators/decontam.py); batch mode only",
+    )
+    p.add_argument("--decontam-k", type=int, default=13,
+                   help="n-gram size for --decontam-eval (GPT-3 rule: 13)")
+    p.add_argument("--decontam-min-shared", type=int, default=1)
     p.add_argument("--url-col", default="url",
                    help="URL column for --latest-per-url")
     p.add_argument("--ts-col", default="warc_ts",
@@ -184,6 +201,29 @@ def run_batch(spark, args) -> dict:
             ).select(F.col("doc_id").alias(args.id_col), args.text_col)
 
         preps.append(clean)
+    if args.redact_pii:
+        from lsh_qd_spark.operators.redact import redact_docs
+
+        preps.append(
+            lambda df: redact_docs(
+                df, text_col=args.text_col, id_col=args.id_col
+            )
+        )
+    if args.decontam_eval:
+        from lsh_qd_spark.operators.decontam import remove_contaminated
+
+        eval_docs = read_pages(spark, args.decontam_eval)
+
+        preps.append(
+            lambda df: remove_contaminated(
+                df,
+                eval_docs,
+                k=args.decontam_k,
+                min_shared=args.decontam_min_shared,
+                text_col=args.text_col,
+                id_col=args.id_col,
+            )
+        )
 
     if args.plan_only:
         # Plan building is not free of execution here: candidate_pairs
@@ -239,6 +279,10 @@ def run_streaming(spark, args) -> dict:
         raise SystemExit("--clean-boilerplate is batch-mode only")
     if args.latest_per_url:
         raise SystemExit("--latest-per-url is batch-mode only")
+    if args.redact_pii:
+        raise SystemExit("--redact-pii is batch-mode only")
+    if args.decontam_eval:
+        raise SystemExit("--decontam-eval is batch-mode only")
     sd = stream_dedup(make_config(args), args.checkpoint_dir, mode=args.mode)
     q = sd.start(spark, args.input)
     q.awaitTermination()

@@ -1,0 +1,98 @@
+"""Benchmark decontamination — n-gram overlap against a held-out set.
+
+Before a web corpus trains a model, documents that share long token
+n-grams with evaluation benchmarks are flagged or dropped (GPT-3
+appendix C's 13-gram rule; Dolma and The Pile ship the same step). This
+operator is that check as a Spark plan:
+
+    train docs ── shingle(k) ── explode ──┐
+                                          ├── hash-join ── groupBy(doc)
+    eval  docs ── shingle(k) ── distinct ─┘   (broadcast)
+
+Scale shape (100 TB training corpus, bounded eval set):
+- the eval side is tiny by construction (benchmarks are thousands of
+  documents, not billions) → its distinct gram set **broadcasts**, so
+  the training corpus is never shuffled: scan → explode → broadcast-hash
+  semi-join → partial-agg groupBy on doc_id. One narrow pass.
+- grams are joined as 64-bit ``xxhash64`` ids (8-byte keys), not
+  strings: the broadcast stays small and the probe side never carries
+  gram text. (The oracle twin joins raw gram STRINGS instead —
+  ``hash_family="string"`` — because exactness across engines matters
+  more than width at oracle scale; a hash collision at 10^12 grams flags
+  a doc spuriously at ~2^-64 per pair, an accepted false-positive rate
+  for a cleaning step.)
+- ``k`` defaults to 13 (the published rule); the oracle query uses the
+  corpus' dedup shingle size so the driver tables show real overlap.
+
+The reference has no corpus-hygiene surface; this is part of the
+training-data-pipeline extension (SURVEY.md §2, LLM-pipeline block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lsh_qd_spark.functions.text import shingle_strings
+
+
+def _grams(
+    docs: DataFrame, k: int, hash_family: str, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, gram) exploded distinct k-grams; hashed unless 'string'."""
+    g = F.explode(shingle_strings(F.col(text_col), k)).alias("gram")
+    out = docs.select(F.col(id_col).alias("doc_id"), g)
+    if hash_family == "string":
+        return out
+    if hash_family == "xxhash64":
+        return out.select("doc_id", F.xxhash64("gram").alias("gram"))
+    raise ValueError(f"unknown hash_family: {hash_family!r}")
+
+
+def contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 13,
+    hash_family: str = "xxhash64",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """(doc_id, n_shared_grams): training documents sharing ≥ 1 distinct
+    k-gram with ``eval_docs``, with how many distinct grams they share.
+
+    ``broadcast_eval=False`` falls back to a shuffle join for the rare
+    eval set too large to broadcast (the plan is otherwise identical).
+    """
+    tg = _grams(train, k, hash_family, text_col, id_col)
+    eg = _grams(eval_docs, k, hash_family, text_col, id_col).select(
+        "gram"
+    ).distinct()
+    if broadcast_eval:
+        eg = F.broadcast(eg)
+    return (
+        tg.join(eg, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+def remove_contaminated(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 13,
+    min_shared: int = 1,
+    hash_family: str = "xxhash64",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``train`` minus documents sharing ≥ ``min_shared`` distinct k-grams
+    with the eval set — the corpus-cleaning transformation behind the
+    ``contamination`` accounting. Anti-join on the (small) flagged-id set,
+    so the wide columns move zero times."""
+    flagged = contamination(
+        train, eval_docs, k, hash_family, text_col, id_col
+    ).where(F.col("n_shared_grams") >= min_shared).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return train.join(F.broadcast(flagged), id_col, "left_anti")

@@ -1,0 +1,85 @@
+"""PII redaction — the standard pre-release scrub of a web-text corpus.
+
+Every public web-scale training-data pipeline (CCNet, C4 derivatives,
+Dolma §4.3, RefinedWeb) masks personally identifiable strings before the
+corpus ships; this operator is that step for the engine: email addresses,
+IPv4 addresses, and international-format phone numbers are replaced with
+typed placeholder tokens, and per-document match counts are emitted for
+the cleaning audit trail.
+
+Design constraints:
+- **Pure JVM regexp chain** (no UDF): each rule is one
+  ``regexp_replace`` / ``regexp_count`` pair, so the whole scrub stays
+  inside whole-stage codegen and the scan's ReadSchema — the same
+  narrow, shuffle-free shape as functions/text.extract_text. At 100 TB
+  this runs at scan speed.
+- **Sequential rule order is the semantics.** Rule *i* counts and
+  replaces on the text produced by rules ``< i`` (email → ipv4 → phone),
+  so a digit run consumed by an earlier rule can never double-count in a
+  later one. The oracle twin applies the identical sequence.
+- **RE2-compatible patterns.** The DuckDB oracle twin evaluates the SAME
+  pattern strings (``PII_RULES`` feeds both engines — one dict, no
+  drift), so every pattern avoids constructs Java regex and RE2 disagree
+  on: no lookaround, no backreferences, ASCII character classes only.
+
+The reference has no text-scrubbing surface (it consumes pre-vectorized
+binary strings, /root/reference/lsh-qd.py:195); this operator is part of
+the training-data-pipeline extension the engine adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (name, pattern, replacement) — applied IN ORDER; the pattern strings are
+# shared verbatim with the DuckDB oracle twin (oracle.SQL_PII_REDACTION is
+# generated from this list), so the two engines cannot drift.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    # local@domain.tld — the unanchored classic; +/%/._- in the local part
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # dotted-quad IPv4, word-bounded so it never eats into longer digit
+    # runs (\b is ASCII word boundary in both Java regex and RE2)
+    ("ipv4", r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
+    # international-format phone: +CC then 2-4 groups of 2-4 digits with
+    # optional single space/hyphen separators. Greedy with no alternation,
+    # so Java (backtracking) and RE2 (automaton) match identically.
+    ("phone", r"\+\d{1,3}([ -]?\d{2,4}){2,4}", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """``text`` with every PII_RULES match replaced by its placeholder
+    (rules applied in order). NULL stays NULL."""
+    out = text
+    for _, pat, repl in PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One count column per rule, matching the redaction's sequential
+    semantics: rule *i* counts on the text already redacted by rules
+    ``< i``. Returns unaliased columns in PII_RULES order."""
+    cur = text
+    counts = []
+    for _, pat, repl in PII_RULES:
+        counts.append(F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, repl)
+    return counts
+
+
+def redact_docs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_<rule>… , redacted): the scrubbed corpus plus the audit
+    counts — all other input columns pass through untouched."""
+    t = F.col(text_col)
+    cols = [F.col(c) for c in docs.columns if c != text_col]
+    counts = [
+        c.cast("long").alias(f"n_{name}")
+        for c, (name, _, _) in zip(pii_counts(t), PII_RULES)
+    ]
+    return docs.select(
+        *cols, *counts, redact_pii(t).alias(text_col)
+    )

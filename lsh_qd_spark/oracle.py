@@ -991,8 +991,134 @@ FROM seglists l LEFT JOIN perdoc p USING (doc_id)
 """
 
 
+# --- PII redaction (CCNet/Dolma-style pre-release scrub) -------------------
+# The synthetic driver text carries no PII, so the query plants one email,
+# one IPv4, and one phone per document DETERMINISTICALLY from doc_id — with
+# the identical concat expression in both engines — then runs the real
+# operator (operators/redact.py). The redacted string itself is a compared
+# column, so the sequential replace semantics are value-hash-checked, not
+# just the counts.
+
+
+def _pii_augmented_spark() -> F.Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@example.com via 10."),
+        (d % 256).cast("string"),
+        F.lit(".0.1 or +1 "),
+        (F.lit(200) + d % 800).cast("string"),
+        F.lit("-"),
+        (F.lit(1000) + d % 9000).cast("string"),
+    )
+
+
+_PII_AUG_SQL = (
+    "coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com via 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.0.1 or +1 ' || CAST(200 + doc_id % 800 AS VARCHAR)"
+    " || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+)
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_email, n_ipv4, n_phone, redacted): the PII scrub over
+    the (deterministically augmented) documents table."""
+    from lsh_qd_spark.operators.redact import (
+        PII_RULES,
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = _docs(spark, sf_dir)
+    aug = _pii_augmented_spark()
+    counts = [
+        c.cast("long").alias(f"n_{name}")
+        for c, (name, _, _) in zip(pii_counts(aug), PII_RULES)
+    ]
+    return docs.select(
+        "doc_id", *counts, redact_pii(aug).alias("redacted")
+    )
+
+
+def _sql_pii_redaction() -> str:
+    """Generated from operators/redact.PII_RULES — the same pattern
+    strings the Spark expression compiles, applied in the same order
+    (DuckDB regexp_replace needs the explicit 'g' flag; Spark's is
+    global by default)."""
+    from lsh_qd_spark.operators.redact import PII_RULES
+
+    ctes = [f"r0 AS (SELECT doc_id, {_PII_AUG_SQL} AS t0 FROM documents)"]
+    counts = []
+    for i, (name, pat, repl) in enumerate(PII_RULES):
+        ctes.append(
+            f"r{i + 1} AS (SELECT *, regexp_replace(t{i}, '{pat}', "
+            f"'{repl}', 'g') AS t{i + 1} FROM r{i})"
+        )
+        counts.append(
+            f"CAST(len(regexp_extract_all(t{i}, '{pat}')) AS BIGINT)"
+            f" AS n_{name}"
+        )
+    n = len(PII_RULES)
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT doc_id, "
+        + ", ".join(counts)
+        + f", t{n} AS redacted FROM r{n}"
+    )
+
+
+SQL_PII_REDACTION = _sql_pii_redaction()
+
+
+# --- benchmark decontamination (GPT-3 13-gram rule shape) -------------------
+# Eval set = every 20th doc_id — a deterministic, engine-identical split of
+# the driver table standing in for a benchmark suite. k matches the oracle
+# dedup shingle size so the planted near-duplicates produce real overlap
+# (at sf0.01: 2 contaminated train docs). Production uses k=13 over
+# xxhash64 gram ids (operators/decontam.py); the oracle joins gram STRINGS
+# so both engines compare exact values.
+DECONTAM_K = 5
+DECONTAM_EVAL_MOD = 20
+
+
+def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shared_grams): train docs sharing ≥ 1 distinct k-gram
+    with the deterministic eval split."""
+    from lsh_qd_spark.operators.decontam import contamination
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+    tr = docs.where(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
+    out = contamination(tr, ev, k=DECONTAM_K, hash_family="string")
+    return out.select("doc_id", F.col("n_shared_grams").cast("long"))
+
+
+SQL_DECONTAM_OVERLAP = f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= {DECONTAM_K} THEN
+      list_transform(range(1, len(t) - {DECONTAM_K - 2}),
+                     i -> array_to_string(
+                            list_slice(t, i, i + {DECONTAM_K - 1}), ' '))
+    WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+    ELSE [] END AS g
+  FROM toks
+),
+dg AS (SELECT doc_id, unnest(list_distinct(g)) AS gram FROM grams),
+ev AS (SELECT DISTINCT gram FROM dg WHERE doc_id % {DECONTAM_EVAL_MOD} = 0),
+tr AS (SELECT doc_id, gram FROM dg WHERE doc_id % {DECONTAM_EVAL_MOD} <> 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM tr JOIN ev USING (gram) GROUP BY doc_id
+"""
+
+
 SQL_QUERIES: dict[str, str] = {
     "boilerplate_segments": SQL_BOILERPLATE_SEGMENTS,
+    "pii_redaction": SQL_PII_REDACTION,
+    "decontam_overlap": SQL_DECONTAM_OVERLAP,
     "exact_dup_clusters": SQL_EXACT_DUP,
     "doc_stats": SQL_DOC_STATS,
     "minhash_buckets": SQL_MINHASH_BUCKETS,
@@ -1018,6 +1144,8 @@ SQL_QUERIES: dict[str, str] = {
 
 SPARK_QUERIES = {
     "boilerplate_segments": q_boilerplate_segments,
+    "pii_redaction": q_pii_redaction,
+    "decontam_overlap": q_decontam_overlap,
     "exact_dup_clusters": q_exact_dup_clusters,
     "doc_stats": q_doc_stats,
     "minhash_buckets": q_minhash_buckets,

@@ -1,0 +1,119 @@
+"""PII redaction + benchmark decontamination operators.
+
+Redaction cases each plant one real spelling of an email/IPv4/phone;
+sequential-rule semantics (a later rule never re-counts text an earlier
+rule consumed) are pinned explicitly. Decontamination is tested on a
+planted train/eval overlap with known shared-gram counts, in both the
+production (xxhash64 gram ids) and oracle (gram strings) join families,
+and the broadcast scale shape is pinned in the physical plan.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_qd_spark.operators.decontam import (
+    contamination,
+    remove_contaminated,
+)
+from lsh_qd_spark.operators.redact import redact_docs, redact_pii
+
+REDACT_CASES = [
+    ("write to bob.smith+spam@mail-host.co.uk today",
+     "write to <EMAIL> today"),
+    ("server at 192.168.0.1 and 10.0.255.3.", "server at <IP> and <IP>."),
+    ("call +44 20 7946 0958 now", "call <PHONE> now"),
+    ("call +1 555-0172", "call <PHONE>"),
+    # no PII → byte-identical passthrough
+    ("version 1.2 of 3 things", "version 1.2 of 3 things"),
+    # 1.2.3 is not a dotted quad; 1.2.3.4 is
+    ("v1.2.3 then 1.2.3.4", "v1.2.3 then <IP>"),
+    # email local parts with digits are consumed by the EMAIL rule, so the
+    # phone rule never sees them (sequential semantics)
+    ("mail 555123456@phones.example please",
+     "mail <EMAIL> please"),
+]
+
+
+def test_redact_cases(spark):
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(REDACT_CASES)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["r"]
+        for r in df.select("i", redact_pii(F.col("t")).alias("r")).collect()
+    }
+    for i, (_, want) in enumerate(REDACT_CASES):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_redact_null_passthrough(spark):
+    df = spark.createDataFrame([(1, None)], "i long, t string")
+    assert df.select(redact_pii(F.col("t")).alias("r")).first()["r"] is None
+
+
+def test_redact_docs_counts_and_passthrough(spark):
+    df = spark.createDataFrame(
+        [(1, "a@b.co or c@d.io at 1.2.3.4", "keep")],
+        "doc_id long, text string, extra string",
+    )
+    row = redact_docs(df).first()
+    assert row["n_email"] == 2
+    assert row["n_ipv4"] == 1
+    assert row["n_phone"] == 0
+    assert row["extra"] == "keep"
+    assert row["text"] == "<EMAIL> or <EMAIL> at <IP>"
+
+
+TRAIN = [
+    # shares the 3-gram "spark shuffles wide" with eval doc 100
+    (1, "every spark shuffles wide stage costs memory"),
+    # shares nothing 3-gram-long with the eval set
+    (2, "completely unrelated text about gardening and soil"),
+    # shares three distinct eval 3-grams: one from eval doc 100 plus the
+    # two overlapping windows of "sorted runs merge fast" from 101
+    (3, "spark shuffles wide and sorted runs merge fast"),
+]
+EVAL = [
+    (100, "spark shuffles wide"),
+    (101, "sorted runs merge fast always"),
+]
+
+
+@pytest.mark.parametrize("family", ["xxhash64", "string"])
+def test_contamination_counts(spark, family):
+    tr = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    ev = spark.createDataFrame(EVAL, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in contamination(tr, ev, k=3, hash_family=family).collect()
+    }
+    assert got == {1: 1, 3: 3}
+
+
+def test_remove_contaminated(spark):
+    tr = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    ev = spark.createDataFrame(EVAL, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"] for r in remove_contaminated(tr, ev, k=3).collect()
+    )
+    assert kept == [2]
+    # min_shared=2 keeps the single-gram doc too
+    kept2 = sorted(
+        r["doc_id"]
+        for r in remove_contaminated(tr, ev, k=3, min_shared=2).collect()
+    )
+    assert kept2 == [1, 2]
+
+
+def test_contamination_broadcasts_eval(spark):
+    """Scale-shape pin: the eval gram set reaches the join as a broadcast
+    (the training corpus must never shuffle for this check)."""
+    tr = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    ev = spark.createDataFrame(EVAL, "doc_id long, text string")
+    plan = (
+        contamination(tr, ev, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
