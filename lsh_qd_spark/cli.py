@@ -79,6 +79,13 @@ def build_parser() -> argparse.ArgumentParser:
         "before dedup; batch mode only",
     )
     p.add_argument(
+        "--drop-repetitive",
+        action="store_true",
+        help="drop documents failing the Gopher A1.1 repetition bounds "
+        "(operators/repetition.py: dup-line/top-ngram/dup-ngram "
+        "fractions) before dedup; batch mode only",
+    )
+    p.add_argument(
         "--decontam-eval",
         default=None,
         help="eval/benchmark table (path or catalog id): drop documents "
@@ -209,6 +216,12 @@ def run_batch(spark, args) -> dict:
                 df, text_col=args.text_col, id_col=args.id_col
             )
         )
+    if args.drop_repetitive:
+        from lsh_qd_spark.operators.repetition import remove_repetitive
+
+        preps.append(
+            lambda df: remove_repetitive(df, text_col=args.text_col)
+        )
     if args.decontam_eval:
         from lsh_qd_spark.operators.decontam import remove_contaminated
 
@@ -281,6 +294,8 @@ def run_streaming(spark, args) -> dict:
         raise SystemExit("--latest-per-url is batch-mode only")
     if args.redact_pii:
         raise SystemExit("--redact-pii is batch-mode only")
+    if args.drop_repetitive:
+        raise SystemExit("--drop-repetitive is batch-mode only")
     if args.decontam_eval:
         raise SystemExit("--decontam-eval is batch-mode only")
     sd = stream_dedup(make_config(args), args.checkpoint_dir, mode=args.mode)

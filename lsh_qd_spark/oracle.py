@@ -1115,10 +1115,97 @@ FROM tr JOIN ev USING (gram) GROUP BY doc_id
 """
 
 
+# --- repetition filters (Gopher A1.1 family) --------------------------------
+# The driver corpus has no newlines, so line structure is synthesized
+# deterministically in BOTH engines: tokens chunked into 5-token lines
+# (positions sequence(1, n, 5) — identical stepping in Spark and DuckDB)
+# joined by chr(10). The Spark side then runs the real operator
+# (operators/repetition.py — 0-shuffle sorted-array run-length pass);
+# the twin computes the same definitions via unnest + GROUP BY, an
+# independent strategy over the same exact-count semantics.
+REP_LINE_TOKENS = 5
+
+
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    top_2gram_char_frac, dup_5gram_frac) over the documents table with
+    synthesized 5-token lines."""
+    from lsh_qd_spark.functions.text import tokens
+    from lsh_qd_spark.operators.repetition import repetition_features
+
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    lined = F.concat_ws(
+        "\n",
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks), F.lit(REP_LINE_TOKENS)),
+            lambda pos: F.concat_ws(
+                " ", F.slice(toks, pos, REP_LINE_TOKENS)
+            ),
+        ),
+    )
+    return repetition_features(
+        docs.select("doc_id", lined.alias("text")),
+        top_ngram_ns=(2,),
+        dup_ngram_ns=(5,),
+    )
+
+
+SQL_REPETITION_SCORES = f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
+base AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+lined AS (
+  SELECT doc_id, t,
+    list_transform(range(1, len(t) + 1, {REP_LINE_TOKENS}),
+                   pos -> array_to_string(
+                            t[pos : pos + {REP_LINE_TOKENS - 1}], ' ')) AS l,
+    len(array_to_string(t, ' ')) AS total_chars
+  FROM base
+),
+linef AS (
+  SELECT doc_id, t, l, total_chars,
+    CAST(len(l) AS BIGINT) AS n_lines,
+    CAST(len(list_distinct(l)) AS BIGINT) AS nd_lines,
+    CAST(list_sum(list_transform(l, x -> len(x))) AS BIGINT) AS s_all,
+    CAST(list_sum(list_transform(list_distinct(l), x -> len(x)))
+         AS BIGINT) AS s_dist,
+    CASE WHEN len(t) >= 5 THEN
+      list_transform(range(1, len(t) - 3), i ->
+                     array_to_string(t[i : i + 4], ' '))
+    ELSE [] END AS g5
+  FROM lined
+),
+g2 AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(t) >= 2 THEN
+      list_transform(range(1, len(t)), i ->
+                     array_to_string(t[i : i + 1], ' '))
+    ELSE [] END) AS gram
+  FROM base
+),
+top2 AS (
+  SELECT doc_id, max(c * len(gram)) AS top_chars
+  FROM (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT f.doc_id,
+  n_lines,
+  1.0 * (n_lines - nd_lines) / n_lines AS dup_line_frac,
+  1.0 * (s_all - s_dist) / s_all AS dup_line_char_frac,
+  least(1.0, 1.0 * COALESCE(top_chars, 0) / total_chars)
+    AS top_2gram_char_frac,
+  CASE WHEN len(g5) > 0
+       THEN 1.0 * (len(g5) - len(list_distinct(g5))) / len(g5)
+       ELSE 0.0 END AS dup_5gram_frac
+FROM linef f LEFT JOIN top2 USING (doc_id)
+"""
+
+
 SQL_QUERIES: dict[str, str] = {
     "boilerplate_segments": SQL_BOILERPLATE_SEGMENTS,
     "pii_redaction": SQL_PII_REDACTION,
     "decontam_overlap": SQL_DECONTAM_OVERLAP,
+    "repetition_scores": SQL_REPETITION_SCORES,
     "exact_dup_clusters": SQL_EXACT_DUP,
     "doc_stats": SQL_DOC_STATS,
     "minhash_buckets": SQL_MINHASH_BUCKETS,
@@ -1146,6 +1233,7 @@ SPARK_QUERIES = {
     "boilerplate_segments": q_boilerplate_segments,
     "pii_redaction": q_pii_redaction,
     "decontam_overlap": q_decontam_overlap,
+    "repetition_scores": q_repetition_scores,
     "exact_dup_clusters": q_exact_dup_clusters,
     "doc_stats": q_doc_stats,
     "minhash_buckets": q_minhash_buckets,

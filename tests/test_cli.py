@@ -229,3 +229,26 @@ def test_cli_redact_and_decontam(spark, tmp_path, capsys):
     by_doc = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
     assert 3 not in by_doc
     assert by_doc[1] == by_doc[2]
+
+
+def test_cli_drop_repetitive(spark, tmp_path, capsys):
+    """--drop-repetitive removes Gopher-failing docs before dedup."""
+    clean = " ".join(f"tok{i} mid{i * 7 % 13}" for i in range(40))
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),  # top-2gram 1.0
+        (2, clean),
+        (3, clean + " extra tail words here"),  # near-dup of 2
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "out")
+    main([
+        "--input", src, "--output", out,
+        "--jaccard-threshold", "0.6",
+        "--drop-repetitive", "--include-singletons",
+    ])
+    capsys.readouterr()
+    survivors = {r["doc_id"] for r in
+                 spark.read.parquet(f"{out}/survivors").collect()}
+    assert 1 not in survivors  # filtered before dedup
+    assert len(survivors & {2, 3}) == 1  # pair still collapses
