@@ -47,8 +47,8 @@ def best_wg_2x8() -> float | None:
     return rec.get("scaling_efficiency_n_to_4n")
 
 
-def best_cluster_sim() -> float | None:
-    rec = _best().get("cluster_sim_best_1x4c2") or {}
+def best_cluster_sim(cores: int = 2) -> float | None:
+    rec = _best().get(f"cluster_sim_best_1x4c{cores}") or {}
     return rec.get("scaling_efficiency_n_to_4n")
 
 
@@ -88,6 +88,13 @@ def main() -> None:
             cs = best_cluster_sim()
             if cs is None or cs < TARGET:
                 runs.append(["--cluster-sim", "1000000", "1:4", "2"])
+        elif cores >= 4.5:
+            # typical grant on this host is ~5 cores: the 1-core-per-
+            # executor pair (4 JVMs x 1 core + driver) is the widest
+            # multi-executor N->4N shape that fits INSIDE such a grant
+            cs1 = best_cluster_sim(cores=1)
+            if cs1 is None or cs1 < TARGET:
+                runs.append(["--cluster-sim", "1000000", "1:4", "1"])
         for args in runs:
             env = dict(
                 os.environ,
