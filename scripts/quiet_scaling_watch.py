@@ -52,12 +52,35 @@ def best_cluster_sim(cores: int = 2) -> float | None:
     return rec.get("scaling_efficiency_n_to_4n")
 
 
+def foreign_bench_running() -> bool:
+    """True when ANY other bench.py process is live (the driver's round
+    bench, a manual retry, or their --worker children). The watcher is
+    blocked inside subprocess.run during its own attempts, so a match at
+    poll time is always someone else's run — firing then would (a) steal
+    the cores that run is being graded on and (b) race it on the shared
+    /tmp/lsh_qd_bench_scale_*.json worker files."""
+    r = subprocess.run(
+        ["pgrep", "-f", r"python[0-9.]* .*bench\.py"],
+        capture_output=True,
+        text=True,
+    )
+    return bool(r.stdout.strip())
+
+
 def main() -> None:
     while time.time() < DEADLINE:
         best = best_recorded()
         if best is not None and best >= TARGET:
             print(f"target reached: best={best}", flush=True)
             return
+        if foreign_bench_running():
+            print(
+                time.strftime("%H:%M:%S"),
+                "foreign bench.py running; standing down this poll",
+                flush=True,
+            )
+            time.sleep(POLL_SEC)
+            continue
         p = weather_probe()
         wg28 = best_wg_2x8()
         print(
