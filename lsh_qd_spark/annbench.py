@@ -1,0 +1,255 @@
+"""ANN-benchmarks HDF5 source (SURVEY.md §2 S1).
+
+The reference loads the public ann-benchmarks suite into driver memory
+(`/root/reference/datasets.py:34-84`: one HDF5 file with ``train`` /
+``test`` / ``neighbors`` / ``distances`` datasets, optionally min-max
+normalized over train ∪ test). A Spark engine wants the same data as a
+TABLE, not an in-memory array, so this source is a one-time **chunked
+HDF5 → parquet conversion** plus plain DataFrame readers:
+
+- ``convert()`` streams the HDF5 datasets through fixed-size row chunks
+  (pyarrow writer, one row group per chunk) — driver memory stays
+  O(chunk), never O(dataset), and the output parquet is multi-row-group
+  so Spark scans it in parallel. At 100 TB you run this once per corpus
+  (or land the data as parquet upstream); every query after that is a
+  parallel columnar scan with pushdown, instead of the reference's
+  whole-file h5py read per process.
+- ``normalize=True`` reproduces the reference's global min-max rescale
+  (datasets.py:78-84) in two streaming passes: a min/max sweep over
+  train ∪ test, then the scale applied per chunk during conversion —
+  bit-for-bit the same arithmetic, without materializing either array.
+- ``train_df()`` / ``test_df()`` read the converted tables:
+  ``train(id bigint, embedding array<float>)`` and
+  ``test(query_id bigint, embedding array<float>,
+  neighbor_ids array<bigint>, neighbor_dists array<float>)`` — the
+  schema the ANN operators (operators/ann.py) and the evaluation
+  harness (evaluate.py) already consume.
+
+Environment gates (both loud, neither load-bearing for the engine):
+- ``h5py`` is imported lazily; absent (as in this sandbox) the error
+  names the missing package and the public file format.
+- No download: the reference fetches ``http://ann-benchmarks.com/…`` on
+  a miss (datasets.py:65-69); this sandbox has no network, so a missing
+  file raises with the filename the user must place in ``data_dir``.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Public ann-benchmarks registry (subset the reference names at
+# /root/reference/datasets.py:12-31, same filename convention:
+# ``{name}-{dim}-{distance}.hdf5``).
+ANN_BENCHMARKS: dict[str, dict] = {
+    "mnist": {"dims": (784,), "dist": "euclidean"},
+    "fashion-mnist": {"dims": (784,), "dist": "euclidean"},
+    "sift": {"dims": (128,), "dist": "euclidean"},
+    "gist": {"dims": (960,), "dist": "euclidean"},
+    "glove": {"dims": (25, 50, 100, 200), "dist": "angular"},
+    "nytimes": {"dims": (256,), "dist": "angular"},
+    "deep-image": {"dims": (96,), "dist": "angular"},
+    "lastfm": {"dims": (64,), "dist": "dot"},
+}
+
+DEFAULT_CHUNK_ROWS = 65536
+
+
+def _require_h5py():
+    try:
+        import h5py  # noqa: PLC0415
+    except ImportError as e:  # pragma: no cover - exercised via fake module
+        raise ImportError(
+            "h5py is required to read ann-benchmarks HDF5 files "
+            "(datasets 'train'/'test'/'neighbors'/'distances'); install "
+            "h5py or convert the file to parquet elsewhere"
+        ) from e
+    return h5py
+
+
+@dataclass(frozen=True)
+class AnnBenchmarkSource:
+    """One ann-benchmarks dataset as a pair of parquet tables.
+
+    ``convert(out_dir)`` must run once (driver-side, streaming) before
+    the ``*_df`` readers; ``converted(out_dir)`` tells whether it has.
+    """
+
+    dataset_name: str
+    dimension: int | None = None
+    data_dir: str = "./data"
+    normalize: bool = True
+    chunk_rows: int = DEFAULT_CHUNK_ROWS
+
+    def __post_init__(self) -> None:
+        if self.dataset_name not in ANN_BENCHMARKS:
+            raise ValueError(
+                f"unknown dataset {self.dataset_name!r}; valid: "
+                f"{sorted(ANN_BENCHMARKS)}"
+            )
+        spec = ANN_BENCHMARKS[self.dataset_name]
+        dim = self.dimension if self.dimension is not None else spec["dims"][0]
+        if dim not in spec["dims"]:
+            raise ValueError(
+                f"valid dimensions for {self.dataset_name} are "
+                f"{spec['dims']}, got {dim}"
+            )
+        object.__setattr__(self, "dimension", dim)
+
+    @property
+    def distance(self) -> str:
+        return ANN_BENCHMARKS[self.dataset_name]["dist"]
+
+    @property
+    def filename(self) -> str:
+        return f"{self.dataset_name}-{self.dimension}-{self.distance}.hdf5"
+
+    @property
+    def hdf5_path(self) -> str:
+        return os.path.join(self.data_dir, self.filename)
+
+    # -- conversion -----------------------------------------------------
+
+    def _open(self):
+        h5py = _require_h5py()
+        if not os.path.exists(self.hdf5_path):
+            raise FileNotFoundError(
+                f"{self.hdf5_path} not found; place the public "
+                f"ann-benchmarks file {self.filename!r} in "
+                f"{self.data_dir!r} (no network access here to fetch it)"
+            )
+        return h5py.File(self.hdf5_path, "r")
+
+    def _min_max(self, f) -> tuple[float, float]:
+        """Global min/max over train ∪ test, streamed per chunk — the
+        reference's normalization constants (datasets.py:79-80) without
+        loading either dataset whole."""
+        import numpy as np
+
+        lo, hi = np.inf, -np.inf
+        for key in ("train", "test"):
+            ds = f[key]
+            for start in range(0, ds.shape[0], self.chunk_rows):
+                chunk = np.asarray(ds[start : start + self.chunk_rows])
+                lo = min(lo, float(chunk.min()))
+                hi = max(hi, float(chunk.max()))
+        return lo, hi
+
+    def convert(self, out_dir: str) -> dict[str, str]:
+        """Stream the HDF5 file into ``{out_dir}/train`` and
+        ``{out_dir}/test`` parquet tables (one row group per chunk so a
+        parallel scan gets ≥ n_rows/chunk_rows splits). Returns the two
+        table paths. Idempotent by overwrite."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        paths = {
+            "train": os.path.join(out_dir, "train"),
+            "test": os.path.join(out_dir, "test"),
+        }
+        with self._open() as f:
+            scale = None
+            if self.normalize:
+                lo, hi = self._min_max(f)
+                # degenerate constant dataset: the reference would divide
+                # by zero; map everything to 0.0 instead
+                scale = (lo, (hi - lo) if hi > lo else 1.0)
+
+            def emb_chunks(key: str):
+                ds = f[key]
+                for start in range(0, ds.shape[0], self.chunk_rows):
+                    chunk = np.asarray(
+                        ds[start : start + self.chunk_rows], dtype=np.float64
+                    )
+                    if scale is not None:
+                        chunk = (chunk - scale[0]) / scale[1]
+                    yield start, chunk.astype(np.float32)
+
+            train_schema = pa.schema(
+                [
+                    pa.field("id", pa.int64()),
+                    pa.field("embedding", pa.list_(pa.float32())),
+                ]
+            )
+            os.makedirs(paths["train"], exist_ok=True)
+            with pq.ParquetWriter(
+                os.path.join(paths["train"], "part-0.parquet"), train_schema
+            ) as w:
+                for start, chunk in emb_chunks("train"):
+                    w.write_table(
+                        pa.table(
+                            {
+                                "id": pa.array(
+                                    range(start, start + len(chunk)),
+                                    pa.int64(),
+                                ),
+                                "embedding": pa.array(
+                                    list(chunk), pa.list_(pa.float32())
+                                ),
+                            },
+                            schema=train_schema,
+                        )
+                    )
+
+            test_schema = pa.schema(
+                [
+                    pa.field("query_id", pa.int64()),
+                    pa.field("embedding", pa.list_(pa.float32())),
+                    pa.field("neighbor_ids", pa.list_(pa.int64())),
+                    pa.field("neighbor_dists", pa.list_(pa.float32())),
+                ]
+            )
+            nbr_ids, nbr_dists = f["neighbors"], f["distances"]
+            os.makedirs(paths["test"], exist_ok=True)
+            with pq.ParquetWriter(
+                os.path.join(paths["test"], "part-0.parquet"), test_schema
+            ) as w:
+                for start, chunk in emb_chunks("test"):
+                    end = start + len(chunk)
+                    w.write_table(
+                        pa.table(
+                            {
+                                "query_id": pa.array(
+                                    range(start, end), pa.int64()
+                                ),
+                                "embedding": pa.array(
+                                    list(chunk), pa.list_(pa.float32())
+                                ),
+                                "neighbor_ids": pa.array(
+                                    [
+                                        np.asarray(r, dtype=np.int64)
+                                        for r in nbr_ids[start:end]
+                                    ],
+                                    pa.list_(pa.int64()),
+                                ),
+                                "neighbor_dists": pa.array(
+                                    [
+                                        np.asarray(r, dtype=np.float32)
+                                        for r in nbr_dists[start:end]
+                                    ],
+                                    pa.list_(pa.float32()),
+                                ),
+                            },
+                            schema=test_schema,
+                        )
+                    )
+        return paths
+
+    @staticmethod
+    def converted(out_dir: str) -> bool:
+        return os.path.exists(
+            os.path.join(out_dir, "train", "part-0.parquet")
+        ) and os.path.exists(os.path.join(out_dir, "test", "part-0.parquet"))
+
+    # -- readers ----------------------------------------------------------
+
+    @staticmethod
+    def train_df(spark: SparkSession, out_dir: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(out_dir, "train"))
+
+    @staticmethod
+    def test_df(spark: SparkSession, out_dir: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(out_dir, "test"))
