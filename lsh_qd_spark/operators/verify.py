@@ -29,32 +29,54 @@ def _auto_fetch(
     t: DataFrame,
     broadcast_ids_cap: int,
     broadcast_bytes_cap: int,
-) -> str:
+) -> tuple[str, DataFrame | None]:
     """Pick the candidate-text fetch strategy for ``fetch='auto'``.
 
-    One small aggregate job over (ideally persisted) pairs — nothing
-    corpus-sized runs and nothing collects beyond the single count. The
-    byte bound samples the mean text length OF THE CANDIDATES (semi-join
-    against the — already counted, so broadcastable — id set, then limit).
-    Sampling the corpus head instead would be wrong twice over: parquet
-    limit-pushdown reads whichever file lists first, and a corpus whose
-    head file holds short pages would green-light broadcasting candidates
-    that average 100x longer. Null texts count as 0 bytes (they reach the
-    kernel as empty shingle sets)."""
+    Returns ``(mode, candidate_texts)`` where mode is one of
+
+    - ``("shuffle", None)`` — the candidate-id COUNT already exceeds the
+      row cap: candidates are corpus-scale, never materialize them; the
+      caller joins pairs against the full docs table (sort-merge, and
+      shuffle-free on the docs side when the corpus is bucketed by id).
+    - ``("broadcast_ids", tchk)`` — candidate texts (semi-join against the
+      broadcast id set, eager localCheckpoint) fit the byte cap: broadcast
+      them into both pair joins. The corpus is scanned exactly ONCE.
+    - ``("candidate_shuffle", tchk)`` — candidates fit the row cap but
+      their texts exceed the byte cap: join the pairs against the
+      CHECKPOINTED candidate texts with plain equi-joins. Only candidate
+      texts move through the shuffle — strictly less IO than the full
+      ``shuffle`` mode, whose two joins each rescan and reshuffle the
+      whole corpus.
+
+    The byte gate is EXACT — ``sum(length(text))`` over the checkpointed
+    candidate rows (one tiny candidate-sized job), not a sampled estimate;
+    a head-of-corpus sample would be wrong twice over (parquet
+    limit-pushdown reads whichever file lists first, and candidates can
+    average 100x the corpus mean length). Null texts count as 0 bytes
+    (they reach the kernel as empty shingle sets).
+
+    Worst-case materialization is bounded by the ROW cap before anything
+    runs: at most ``broadcast_ids_cap`` texts land in (distributed,
+    reference-tracked) executor storage — comparable bytes to what the
+    candidate_shuffle joins move anyway, and never driver-resident."""
     n_ids = ids.count()
     if n_ids > broadcast_ids_cap:
-        return "shuffle"
-    avg_len = (
-        t.join(F.broadcast(ids), "_vid", "left_semi")
-        .select(F.coalesce(F.length("_vtx"), F.lit(0)).alias("_l"))
-        .limit(10_000)
-        .agg(F.avg("_l"))
-        .first()[0]
-        or 0.0
+        return "shuffle", None
+    # eager localCheckpoint: BOTH pair joins (and the byte gate) consume
+    # this — without it the corpus scan + semi-join would re-run per
+    # consumer. Blocks are reference-tracked (freed with the plan).
+    tchk = t.join(F.broadcast(ids), "_vid", "left_semi").localCheckpoint(
+        eager=True
     )
-    if n_ids * (avg_len + 24) <= broadcast_bytes_cap:
-        return "broadcast_ids"
-    return "shuffle"
+    n_bytes = (
+        tchk.agg(
+            F.sum(F.coalesce(F.length("_vtx"), F.lit(0))).alias("_b")
+        ).first()["_b"]
+        or 0
+    )
+    if n_bytes + 24 * n_ids <= broadcast_bytes_cap:
+        return "broadcast_ids", tchk
+    return "candidate_shuffle", tchk
 
 
 def verify_pairs_text(
@@ -94,15 +116,17 @@ def verify_pairs_text(
       id (lsh_qd_spark.io bucketed tables) makes this path shuffle-free
       on the docs side.
     - ``"auto"`` (default): count distinct candidate ids (cheap when
-      ``pairs`` is persisted — the pipeline persists it) and pick
-      broadcast_ids iff the count ≤ ``broadcast_ids_cap`` AND the
-      ESTIMATED candidate-text bytes (count × sampled mean text length)
-      fit ``broadcast_bytes_cap``. The row cap alone is not a memory
-      bound: real crawl pages average 5–100 KB, so 1M candidate texts can
-      be tens of GB — far beyond what the two text broadcasts may collect.
-      The byte estimate samples the CANDIDATES' text (corpus semi-joined
-      against the broadcast id set, short-circuited by the 10k limit), not
-      the corpus head — see ``_auto_fetch``.
+      ``pairs`` is persisted — the pipeline persists it). Over the row cap
+      → ``shuffle`` (corpus-scale candidates are never materialized).
+      Under it, the candidate texts are semi-joined out of the corpus ONCE
+      and checkpointed; their EXACT byte size (one candidate-sized
+      aggregate over the checkpoint — no corpus re-scan, no sampled
+      estimate) picks between broadcasting them into both pair joins and
+      plain equi-joins against the checkpoint (only candidate texts ever
+      shuffle). The row cap alone is not a memory bound: real crawl pages
+      average 5–100 KB, so 1M candidate texts can be tens of GB — far
+      beyond what the two text broadcasts may collect; the byte gate is
+      what bounds the broadcast. See ``_auto_fetch``.
     """
     import numpy as np
     import pandas as pd
@@ -118,8 +142,10 @@ def verify_pairs_text(
         .distinct()
     )
     if fetch == "auto":
-        fetch = _auto_fetch(ids, t, broadcast_ids_cap, broadcast_bytes_cap)
-    if fetch == "broadcast_ids":
+        fetch, tchk = _auto_fetch(ids, t, broadcast_ids_cap, broadcast_bytes_cap)
+        if tchk is not None:
+            t = tchk
+    elif fetch == "broadcast_ids":
         # eager localCheckpoint: BOTH pair joins consume t — without it the
         # corpus scan + semi-join would re-run per side. Blocks are
         # reference-tracked (freed with the plan), lineage is truncated.

@@ -43,9 +43,10 @@ def test_fetch_modes_agree(spark, fixture):
 
 
 def test_auto_bytes_cap_falls_back_to_shuffle(spark, fixture):
-    """auto must refuse the broadcast when the ESTIMATED candidate-text
-    bytes exceed the cap, even though the row count is tiny — and the
-    shuffle fallback returns the same rows."""
+    """auto must refuse the broadcast when the EXACT candidate-text bytes
+    exceed the cap (→ candidate_shuffle: plain joins against the
+    checkpointed candidate texts), and when the row count exceeds its cap
+    (→ full shuffle) — both fallbacks return the same rows."""
     pages, cand = fixture
     ref = _rows(
         verify_pairs_text(
@@ -77,12 +78,15 @@ def test_unknown_fetch_mode_rejected(spark, fixture):
         )
 
 
-def test_auto_fetch_estimates_candidate_bytes_not_corpus_head(spark):
+def test_auto_fetch_measures_candidate_bytes_not_corpus_head(spark):
     """The auto byte gate must size the broadcast from the CANDIDATES'
     texts: a corpus whose non-candidate rows are short (or whose scan head
     is short) must not green-light broadcasting long candidates, and short
     candidates must still broadcast out of a corpus that contains long
-    non-candidates. Null candidate text counts as 0 bytes."""
+    non-candidates. Over the byte cap (but under the row cap) the mode is
+    candidate_shuffle and the checkpointed candidate texts are returned;
+    over the row cap nothing is materialized. Null candidate text counts
+    as 0 bytes."""
     from lsh_qd_spark.operators.verify import _auto_fetch
 
     rows = [(i, "ab") for i in range(100)]
@@ -91,17 +95,23 @@ def test_auto_fetch_estimates_candidate_bytes_not_corpus_head(spark):
     long_ids = spark.createDataFrame(
         [(1000 + i,) for i in range(50)], "_vid long"
     )
-    # 50 x ~10KB = ~500KB of candidate text > 100KB cap -> shuffle
-    assert _auto_fetch(long_ids, docs, 1_000_000, 100_000) == "shuffle"
+    # 50 x 10KB = 500KB of candidate text > 100KB cap -> join the
+    # checkpointed candidate texts, don't broadcast them
+    mode, tchk = _auto_fetch(long_ids, docs, 1_000_000, 100_000)
+    assert mode == "candidate_shuffle"
+    assert tchk is not None and tchk.count() == 50
     short_ids = spark.createDataFrame([(i,) for i in range(100)], "_vid long")
     # 100 x 2B fits easily even though the corpus holds 10KB docs
-    assert _auto_fetch(short_ids, docs, 1_000_000, 100_000) == "broadcast_ids"
-    # row cap still gates first
-    assert _auto_fetch(short_ids, docs, 10, 100_000) == "shuffle"
-    # all-null candidate text: 0 bytes, broadcast is safe (the kernel sees
-    # empty shingle sets)
+    mode, tchk = _auto_fetch(short_ids, docs, 1_000_000, 100_000)
+    assert mode == "broadcast_ids"
+    assert tchk is not None and tchk.count() == 100
+    # row cap gates first — and nothing is checkpointed over it
+    assert _auto_fetch(short_ids, docs, 10, 100_000) == ("shuffle", None)
+    # all-null candidate text: 0 bytes of text (24B/row id overhead only),
+    # broadcast is safe (the kernel sees empty shingle sets)
     null_docs = spark.createDataFrame(
         [(i, None) for i in range(5)], "_vid long, _vtx string"
     )
     null_ids = spark.createDataFrame([(i,) for i in range(5)], "_vid long")
-    assert _auto_fetch(null_ids, null_docs, 100, 100_000) == "broadcast_ids"
+    mode, _ = _auto_fetch(null_ids, null_docs, 100, 100_000)
+    assert mode == "broadcast_ids"
