@@ -95,50 +95,52 @@ def candidate_pairs(
         # in practice a handful (boilerplate/empty-page clusters). This
         # replaces a full-table sort-merge join of bucket rows against
         # their sizes with two map-side broadcast joins.
-        spark = buckets.sparkSession
         sizes = buckets.groupBy("band_idx", "band_key").agg(
             F.count("*").alias("bucket_n"), F.min("doc_id").alias("rep")
         )
         big = sizes.where(F.col("bucket_n") > max_bucket_size).select(
             "band_idx", "band_key", "rep"
         )
-        # No silent truncation — and ONE job to decide, not count+collect
-        # (which would run the upstream aggregation twice; when `buckets`
-        # comes straight off the signature kernel that means re-running the
-        # kernel over the corpus). limit(cap+1) collects at most cap+1 keys:
-        # within the budget they are broadcast (two map-side joins, no extra
-        # wide stage); beyond it the same joins run as shuffle joins against
-        # a persisted `big` — slower but correct at ANY number of
-        # mega-buckets.
-        big_rows = big.limit(big_key_broadcast_cap + 1).collect()
-        n_big = len(big_rows)
+        # No silent truncation. Eager localCheckpoint FIRST, then decide:
+        # the old limit(cap+1).collect() decision ran CollectLimit's
+        # incremental scale-up — 3-4 sequential partial jobs (1, 4, 20, …
+        # partitions) since real big-key counts sit far below the cap —
+        # a fixed serial-latency tax on every pairs call. The checkpoint
+        # materializes `big` in ONE full-parallel job; the count and any
+        # bounded collect after it read cached blocks. Truncated lineage
+        # also guarantees the upstream signature kernel runs only once
+        # (count+collect on the raw plan would re-run it over the corpus).
+        #
+        # Eager localCheckpoint, not persist(): downstream joins consume
+        # it lazily, so a plain persist could never be unpersisted from
+        # here and would sit in executor storage for the life of the
+        # session. Checkpoint blocks are reference-tracked — freed when
+        # the returned plan is dropped.
+        #
+        # Fault-tolerance trade (applies to every localCheckpoint in this
+        # package): blocks are non-replicated, so losing an executor
+        # mid-job fails the JOB instead of recomputing the partition from
+        # lineage. That is the accepted cost of not leaking
+        # session-lifetime cache: a failed run re-runs and resumes from
+        # the DedupPipeline stage store (the durable checkpoint layer).
+        # On clusters with aggressive dynamic allocation / preemption,
+        # prefer a checkpoint_dir so stage tables, not executor blocks,
+        # carry the state.
+        big_ck = big.localCheckpoint(eager=True)
+        n_big = big_ck.count()
         if n_big > 0:
             if n_big <= big_key_broadcast_cap:
-                big_df = F.broadcast(
-                    spark.createDataFrame(big_rows, big.schema)
-                )
+                # broadcast straight off the cached blocks (two map-side
+                # joins, no extra wide stage)
+                big_df = F.broadcast(big_ck)
                 log.info(
                     "candidate_pairs: %d oversized-bucket keys (broadcast)", n_big
                 )
             else:
-                # Eager localCheckpoint, not persist(): both downstream
-                # joins consume it lazily, so a plain persist could never
-                # be unpersisted from here and would sit in executor
-                # storage for the life of the session. Checkpoint blocks
-                # are reference-tracked — freed when the returned plan is
-                # dropped — and the truncated lineage still guarantees the
-                # upstream kernel runs only once.
-                #
-                # Fault-tolerance trade (applies to every localCheckpoint
-                # in this package): blocks are non-replicated, so losing
-                # an executor mid-job fails the JOB instead of recomputing
-                # the partition from lineage. That is the accepted cost of
-                # not leaking session-lifetime cache: a failed run re-runs
-                # and resumes from the DedupPipeline stage store (the
-                # durable checkpoint layer). On clusters with aggressive
-                # dynamic allocation / preemption, prefer a checkpoint_dir
-                # so stage tables, not executor blocks, carry the state.
-                big_df = big.localCheckpoint(eager=True)
+                # beyond the budget the same joins run as shuffle joins
+                # against the checkpointed keys — slower but correct at
+                # ANY number of mega-buckets
+                big_df = big_ck
                 log.warning(
                     "candidate_pairs: more than %d oversized-bucket keys; "
                     "using shuffle joins for the mega-bucket split",
