@@ -161,12 +161,25 @@ class AnnBenchmarkSource:
             def emb_chunks(key: str):
                 ds = f[key]
                 for start in range(0, ds.shape[0], self.chunk_rows):
-                    chunk = np.asarray(
-                        ds[start : start + self.chunk_rows], dtype=np.float64
-                    )
+                    chunk = np.asarray(ds[start : start + self.chunk_rows])
                     if scale is not None:
-                        chunk = (chunk - scale[0]) / scale[1]
-                    yield start, chunk.astype(np.float32)
+                        # The reference subtracts/divides NATIVE-dtype
+                        # scalars (np.min of a float32 array is float32,
+                        # so float32 arrays normalize in float32
+                        # arithmetic). A float64 intermediate here would
+                        # round differently by 1 ulp — do the math in the
+                        # source float dtype for bit-for-bit parity;
+                        # integer sources promote to float64 on divide in
+                        # both implementations.
+                        dt = (
+                            chunk.dtype
+                            if chunk.dtype.kind == "f"
+                            else np.dtype(np.float64)
+                        )
+                        chunk = (chunk - dt.type(scale[0])) / dt.type(
+                            scale[1]
+                        )
+                    yield start, np.asarray(chunk, dtype=np.float32)
 
             train_schema = pa.schema(
                 [

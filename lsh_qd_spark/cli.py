@@ -226,6 +226,13 @@ def run_batch(spark, args) -> dict:
         from lsh_qd_spark.operators.decontam import remove_contaminated
 
         eval_docs = read_pages(spark, args.decontam_eval)
+        if args.plan_only:
+            # plan-only's bounded-execution contract (see below) must also
+            # cover the JOIN'S BUILD SIDE: the eval table is shingled,
+            # distinct'd and broadcast during the eager pairs/verify jobs,
+            # so an unbounded eval side would burn a full-table job even
+            # though the probe side is sampled.
+            eval_docs = eval_docs.limit(10_000)
 
         preps.append(
             lambda df: remove_contaminated(

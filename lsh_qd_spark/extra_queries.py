@@ -460,7 +460,7 @@ WITH urls AS (
                         THEN regexp_replace(pathq, '^[^?]*\?', '')
                         ELSE '' END, '&'),
       kv -> kv <> '' AND NOT regexp_matches(
-        kv, '^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)(=.*)?$')
+        kv, '^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid)(=.*)?$')
     )) AS params
   FROM comps
 )

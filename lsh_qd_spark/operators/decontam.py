@@ -85,14 +85,26 @@ def remove_contaminated(
     hash_family: str = "xxhash64",
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+    broadcast_flagged: bool = True,
 ) -> DataFrame:
     """``train`` minus documents sharing ≥ ``min_shared`` distinct k-grams
     with the eval set — the corpus-cleaning transformation behind the
-    ``contamination`` accounting. Anti-join on the (small) flagged-id set,
-    so the wide columns move zero times."""
+    ``contamination`` accounting. Anti-join on the flagged-id set, so the
+    wide columns move zero times.
+
+    The flagged set is "every contaminated training doc" — usually tiny,
+    but UNBOUNDED (a boilerplate-heavy corpus with a small ``k`` or
+    ``min_shared=1`` can flag a large fraction of the corpus). Pass
+    ``broadcast_flagged=False`` to anti-join via shuffle instead of
+    collecting the flagged ids onto the driver — the same escape hatch
+    ``contamination`` exposes for an oversized eval side."""
     flagged = contamination(
-        train, eval_docs, k, hash_family, text_col, id_col
+        train, eval_docs, k, hash_family, text_col, id_col,
+        broadcast_eval=broadcast_eval,
     ).where(F.col("n_shared_grams") >= min_shared).select(
         F.col("doc_id").alias(id_col)
     )
-    return train.join(F.broadcast(flagged), id_col, "left_anti")
+    if broadcast_flagged:
+        flagged = F.broadcast(flagged)
+    return train.join(flagged, id_col, "left_anti")

@@ -35,7 +35,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # query parameters that identify the *visit*, not the resource
-TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)(=.*)?$"
+# Deliberately NOT stripped: bare `ref` — unlike utm_*/gclid it is
+# frequently a resource-identifying key (forums, PHP apps, e-commerce),
+# so stripping it would silently collapse distinct pages into one
+# canonical URL and drop them before dedup ever sees them.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid)(=.*)?$"
 
 
 def canonical_url(url: Column) -> Column:

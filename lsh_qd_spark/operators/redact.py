@@ -73,9 +73,20 @@ def redact_docs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, n_<rule>… , redacted): the scrubbed corpus plus the audit
-    counts — all other input columns pass through untouched."""
+    counts — all other input columns pass through untouched.
+
+    Re-run safe: pre-existing ``n_<rule>`` audit columns from an earlier
+    redaction pass are replaced, not duplicated (the same convention as
+    ``recrawl.latest_snapshot`` for canonical_url/n_snapshots) — without
+    this, redacting an already-scrubbed table would emit two ``n_email``
+    columns and break every downstream reference with
+    AMBIGUOUS_REFERENCE."""
     t = F.col(text_col)
-    cols = [F.col(c) for c in docs.columns if c != text_col]
+    audit_cols = {f"n_{name}" for name, _, _ in PII_RULES}
+    cols = [
+        F.col(c) for c in docs.columns
+        if c != text_col and c not in audit_cols
+    ]
     counts = [
         c.cast("long").alias(f"n_{name}")
         for c, (name, _, _) in zip(pii_counts(t), PII_RULES)

@@ -1135,6 +1135,12 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
+    # Drop zero-token docs BEFORE building lines (mirrors the twin's
+    # `base` CTE): F.sequence(1, 0, 5) throws IllegalArgumentException
+    # ("Illegal sequence boundaries") on empty/whitespace-only text,
+    # and the physical Filter sits below the Project so filtered rows
+    # never reach the sequence expression.
+    docs = docs.filter(F.size(toks) > 0)
     lined = F.concat_ws(
         "\n",
         F.transform(

@@ -118,7 +118,28 @@ def main() -> None:
             cs1 = best_cluster_sim(cores=1)
             if cs1 is None or cs1 < TARGET:
                 runs.append(["--cluster-sim", "1000000", "1:4", "1"])
-        for args in runs:
+        for i, args in enumerate(runs):
+            # Re-validate BETWEEN queued runs: a single poll can queue up
+            # to three back-to-back ~25-min attempts, and by the second one
+            # the grant may have collapsed or a driver bench round may have
+            # started — firing then steals the cores that run is graded on
+            # and races it on the shared /tmp/lsh_qd_bench_scale_* files.
+            if i > 0:
+                if foreign_bench_running():
+                    print(
+                        "foreign bench.py appeared mid-queue; "
+                        "dropping remaining runs",
+                        flush=True,
+                    )
+                    break
+                p2 = weather_probe()
+                if p2["effective_cores"] < WG_MIN_CORES:
+                    print(
+                        f"grant collapsed to {p2['effective_cores']} "
+                        "cores mid-queue; dropping remaining runs",
+                        flush=True,
+                    )
+                    break
             env = dict(
                 os.environ,
                 SPARK_GRAFT_GATE_SLEEP_BUDGET="240",

@@ -162,3 +162,41 @@ def test_convert_unnormalized_and_parallel_scan(spark, tmp_path, fake_h5py):
         str(tmp_path / "raw" / "train" / "part-0.parquet")
     ).metadata
     assert meta.num_row_groups == 4
+
+
+def test_normalize_matches_reference_float32_arithmetic(
+    spark, tmp_path, fake_h5py
+):
+    """Bit-for-bit parity pin for the docstring's claim: the reference
+    (datasets.py:77-81) subtracts/divides NATIVE-dtype scalars — np.min of
+    a float32 array is a float32 scalar, so float32 data normalizes in
+    float32 arithmetic. A float64 intermediate rounds differently by 1 ulp
+    on routine inputs; the converter must reproduce the float32 math."""
+    rng = np.random.default_rng(7)
+    train = rng.normal(3.0, 2.0, (23, 4)).astype(np.float32)
+    test = rng.normal(3.0, 2.0, (5, 4)).astype(np.float32)
+    fake_h5py["train"] = train
+    fake_h5py["test"] = test
+    fake_h5py["neighbors"] = rng.integers(0, 23, (5, 3))
+    fake_h5py["distances"] = rng.random((5, 3)).astype(np.float32)
+    src = AnnBenchmarkSource(
+        "glove", dimension=50, data_dir=str(tmp_path), chunk_rows=10
+    )
+    (tmp_path / src.filename).write_bytes(b"")
+    src.convert(str(tmp_path / "out"))
+
+    # reference arithmetic, verbatim dtype semantics
+    lo = min(np.min(train), np.min(test))   # float32 scalar
+    hi = max(np.max(train), np.max(test))
+    want = (train - lo) / (hi - lo)          # float32 throughout
+    assert want.dtype == np.float32
+
+    got_rows = (
+        src.train_df(spark, str(tmp_path / "out"))
+        .orderBy("id")
+        .collect()
+    )
+    got = np.array([r["embedding"] for r in got_rows], dtype=np.float32)
+    assert np.array_equal(got, want), (
+        np.abs(got.astype(np.float64) - want.astype(np.float64)).max()
+    )

@@ -252,3 +252,41 @@ def test_cli_drop_repetitive(spark, tmp_path, capsys):
                  spark.read.parquet(f"{out}/survivors").collect()}
     assert 1 not in survivors  # filtered before dedup
     assert len(survivors & {2, 3}) == 1  # pair still collapses
+
+
+def test_cli_plan_only_bounds_decontam_eval_side(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """plan-only's bounded-execution contract covers the decontam join's
+    BUILD side too: the eval table must enter the plan through a limit,
+    not as an unbounded full-table shingle+distinct+broadcast. (Asserted
+    on the DataFrame handed to remove_contaminated — the printed final
+    plan sits above eager checkpoints, so the limit is invisible there.)"""
+    scfg = SynthConfig(n_docs=60, seed=61)
+    src = str(tmp_path / "pages")
+    generate_pages(spark, scfg).write.parquet(src)
+    ev = str(tmp_path / "eval")
+    spark.createDataFrame(
+        [(100, "some benchmark sentence " * 5)], "doc_id long, text string"
+    ).write.parquet(ev)
+
+    from lsh_qd_spark.operators import decontam as decontam_mod
+
+    seen = {}
+    real = decontam_mod.remove_contaminated
+
+    def spy(train, eval_docs, **kw):
+        seen["eval_plan"] = eval_docs._jdf.queryExecution().analyzed().toString()
+        return real(train, eval_docs, **kw)
+
+    monkeypatch.setattr(decontam_mod, "remove_contaminated", spy)
+    out = str(tmp_path / "out")
+    main([
+        "--input", src, "--output", out,
+        "--plan-only", "--decontam-eval", ev,
+    ])
+    plan = capsys.readouterr().out
+    assert "Physical Plan" in plan
+    assert not os.path.exists(out)
+    assert "eval_plan" in seen, "decontam prep never ran under plan-only"
+    assert "GlobalLimit" in seen["eval_plan"]

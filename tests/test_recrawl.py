@@ -34,6 +34,10 @@ CANON_CASES = [
     ("https://a.com/", "https://a.com/"),
     # utm_ prefix match must not eat unrelated params
     ("https://a.com/x?utmost=1", "https://a.com/x?utmost=1"),
+    # `ref` is frequently a RESOURCE KEY (forums, PHP apps), not a
+    # tracker — stripping it would silently collapse distinct pages
+    ("https://a.com/view?ref=1001", "https://a.com/view?ref=1001"),
+    ("https://a.com/view?ref=1002", "https://a.com/view?ref=1002"),
     # DNS-rooted FQDN trailing dot names the same host
     ("https://a.com./x", "https://a.com/x"),
     ("https://a.com.:443/x", "https://a.com/x"),

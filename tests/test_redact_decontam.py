@@ -117,3 +117,40 @@ def test_contamination_broadcasts_eval(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_redact_docs_rerun_safe(spark):
+    """Re-redacting an already-scrubbed table must REPLACE the n_<rule>
+    audit columns, not duplicate them (duplicate names would break every
+    downstream reference with AMBIGUOUS_REFERENCE)."""
+    df = spark.createDataFrame(
+        [(1, "a@b.co at 1.2.3.4", "keep")],
+        "doc_id long, text string, extra string",
+    )
+    once = redact_docs(df)
+    twice = redact_docs(once)
+    assert len(twice.columns) == len(set(twice.columns))
+    assert sorted(twice.columns) == sorted(once.columns)
+    row = twice.first()
+    # placeholders contain no PII, so the second pass counts zero and
+    # leaves the text byte-identical
+    assert row["n_email"] == 0 and row["n_ipv4"] == 0
+    assert row["text"] == once.first()["text"]
+    assert row["extra"] == "keep"
+
+
+def test_remove_contaminated_shuffle_fallback(spark):
+    """broadcast_flagged=False (the unbounded-flagged-set escape hatch)
+    must produce the same corpus as the broadcast path."""
+    tr = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    ev = spark.createDataFrame(EVAL, "doc_id long, text string")
+    kept_b = sorted(
+        r["doc_id"] for r in remove_contaminated(tr, ev, k=3).collect()
+    )
+    kept_s = sorted(
+        r["doc_id"]
+        for r in remove_contaminated(
+            tr, ev, k=3, broadcast_flagged=False
+        ).collect()
+    )
+    assert kept_b == kept_s == [2]

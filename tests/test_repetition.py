@@ -195,3 +195,26 @@ def test_gopher_threshold_keys_all_computable(spark):
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     out = remove_repetitive(df, GOPHER_THRESHOLDS)
     assert out.count() == 1
+
+
+def test_oracle_repetition_scores_survives_empty_docs(spark, tmp_path):
+    """Regression: q_repetition_scores crashed with IllegalArgumentException
+    ('Illegal sequence boundaries') on any zero-token document, because
+    F.sequence(1, size(toks), 5) was built before any non-empty filter.
+    Zero-token docs must be DROPPED (the DuckDB twin's `base` CTE filters
+    len(t) > 0), not crash the query."""
+    from lsh_qd_spark.oracle import q_repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, ""),            # zero tokens — the crash case
+            (3, "   \t  "),     # whitespace-only — also zero tokens
+            (4, None),          # null text
+        ],
+        "doc_id long, text string",
+    )
+    sf_dir = str(tmp_path)
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    got = q_repetition_scores(spark, sf_dir).collect()
+    assert sorted(r["doc_id"] for r in got) == [1]
