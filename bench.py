@@ -844,7 +844,17 @@ def within_grant_only(
     spark.stop()
     ratios, probes, r1s, r4s = [], [], [], []
     c1s, c4s = [], []
+    # Same deadline discipline as the cluster-sim path: the watcher's
+    # outer kill (subprocess timeout) discards EVERYTHING, so on a slow
+    # host we must stop starting new rounds early enough to exit and
+    # ratchet the completed ones ourselves. (No per-round prefix
+    # ratcheting: a lucky 1-round prefix must not outrank the honest
+    # full-run median in the same slot.)
+    deadline = time.time() + int(
+        os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "3000")
+    )
     for i in range(rounds):
+        t_round = time.time()
         # per-round fault isolation (run_scaling's discipline): a failed
         # leg in round 3 must not discard rounds 1-2 of a rare window
         probe = weather_probe()
@@ -863,6 +873,13 @@ def within_grant_only(
             if rr.get("achieved_concurrency") is not None:
                 acc.append(rr["achieved_concurrency"])
         ratios.append((r1["sec"] / r4["sec"]) / (hi / lo))
+        round_cost = time.time() - t_round
+        if i + 1 < rounds and time.time() + round_cost > deadline:
+            sys.stderr.write(
+                f"within-grant: deadline reached after round {i + 1}; "
+                f"reporting {len(ratios)} round(s)\n"
+            )
+            break
     wg = {
         "note": (
             f"standalone within-grant pair (--wg-only); fits a "
@@ -1520,10 +1537,19 @@ def main() -> None:
         # phase deadline sits 10 min inside HARD_DEADLINE so a last round
         # that overruns its estimate still finishes before the watchdog
         # would discard its ratios
-        deadline = t_start + int(
-            os.environ.get(
-                "SPARK_GRAFT_BENCH_DEADLINE", str(max(600, HARD_DEADLINE_SEC - 600))
-            )
+        # Clamp the phase deadline 10 min inside the watchdog's hard
+        # deadline even when the env var is set explicitly: a caller
+        # passing SPARK_GRAFT_BENCH_DEADLINE == HARD_DEADLINE would erase
+        # the margin, and an in-flight round at the hard deadline gets
+        # os._exit'd — discarding every completed round of that window.
+        deadline = t_start + min(
+            int(
+                os.environ.get(
+                    "SPARK_GRAFT_BENCH_DEADLINE",
+                    str(max(600, HARD_DEADLINE_SEC - 600)),
+                )
+            ),
+            max(600, HARD_DEADLINE_SEC - 600),
         )
         try:
             scaling = run_scaling(deadline=deadline)

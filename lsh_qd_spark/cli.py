@@ -146,15 +146,24 @@ def _survivors(pages, clusters, id_col: str, text_col: str):
     ).select("doc_id", "cluster_id")
 
 
-def _write_results(spark, args, pages, verified, clusters) -> None:
+def _write_results(spark, args, pages, verified, clusters=None) -> None:
     """verified / clusters / survivors — the same three result tables in
     every mode. Each table is read back after its write so downstream
     stages consume the materialized data instead of re-running the plan
     (the verify kernel is the expensive stage; computing it once is the
-    point of writing it)."""
+    point of writing it). ``clusters=None`` (streaming) clusters the
+    MATERIALIZED verified table — the batch pipeline hands its own
+    clusters stage in, streaming derives it here so both modes share one
+    output contract."""
     from lsh_qd_spark.io import read_stage, write_stage
 
     write_stage(verified, _out_ref(args.output, "verified"), "overwrite")
+    if clusters is None:
+        from lsh_qd_spark.operators.cluster import connected_components
+
+        clusters = connected_components(
+            read_stage(spark, _out_ref(args.output, "verified"))
+        )
     write_stage(clusters, _out_ref(args.output, "clusters"), "overwrite")
     clusters_m = read_stage(spark, _out_ref(args.output, "clusters"))
     write_stage(
@@ -271,6 +280,24 @@ def run_batch(spark, args) -> dict:
         return {}
     for prep in preps:
         pages = prep(pages)
+    prepped = bool(preps)
+    if prepped:
+        # Materialize the prepped corpus ONCE: downstream it is consumed
+        # by ≥ 4 separate actions (signature scan, verify's candidate-text
+        # fetch, the auto-fetch byte gate, survivors) and each would
+        # otherwise replay the full prep plan — re-crawl collapse and
+        # boilerplate clean are full-corpus shuffles, so that's ~4× the
+        # most expensive stage. With a checkpoint dir the prepped table is
+        # written there (the 100 TB-correct shape: stable storage, resumes
+        # free); without one, spill-to-disk cache.
+        if args.checkpoint_dir:
+            from lsh_qd_spark.io import read_stage, write_stage
+
+            ref = _out_ref(args.checkpoint_dir, "prepped_pages")
+            write_stage(pages, ref, "overwrite")
+            pages = read_stage(spark, ref)
+        else:
+            pages = pages.persist()
     pipe = DedupPipeline(make_config(args), checkpoint_dir=args.checkpoint_dir)
     out = pipe.run(
         pages,
@@ -279,6 +306,8 @@ def run_batch(spark, args) -> dict:
         include_singletons=args.include_singletons,
     )
     _write_results(spark, args, pages, out["verified"], out["clusters"])
+    if prepped and not args.checkpoint_dir:
+        pages.unpersist()
     return {
         "mode": "batch",
         "stage_metrics": {k: vars(m) for k, m in pipe.metrics.items()},
@@ -286,8 +315,7 @@ def run_batch(spark, args) -> dict:
 
 
 def run_streaming(spark, args) -> dict:
-    from lsh_qd_spark.io import read_pages, read_stage, write_stage
-    from lsh_qd_spark.operators.cluster import connected_components
+    from lsh_qd_spark.io import read_pages
     from lsh_qd_spark.streaming import stream_dedup
     from lsh_qd_spark.streaming.facade import save_progress
 
@@ -305,26 +333,26 @@ def run_streaming(spark, args) -> dict:
         raise SystemExit("--drop-repetitive is batch-mode only")
     if args.decontam_eval:
         raise SystemExit("--decontam-eval is batch-mode only")
+    if args.text_col != "text" or args.id_col != "doc_id":
+        # the stream reads the fixed PAGES_STREAM_SCHEMA (doc_id/text);
+        # a renamed column would by-name-resolve to NULLs and the run
+        # would "succeed" with zero duplicates — refuse instead
+        raise SystemExit(
+            "--text-col/--id-col are batch-mode only: streaming reads "
+            "the fixed pages schema (doc_id, text)"
+        )
     sd = stream_dedup(make_config(args), args.checkpoint_dir, mode=args.mode)
     q = sd.start(spark, args.input)
     q.awaitTermination()
     save_progress(q, args.checkpoint_dir)
     pages = read_pages(spark, args.input)
-    # write verified FIRST, then cluster the materialized table — the
-    # Jaccard-verify kernel runs exactly once per CLI run
-    write_stage(
+    # clusters=None: verified is written FIRST and the materialized table
+    # is clustered — the Jaccard-verify kernel runs exactly once per run
+    _write_results(
+        spark,
+        args,
+        pages,
         sd.verified_pairs(spark, pages, args.text_col, args.id_col),
-        _out_ref(args.output, "verified"),
-        "overwrite",
-    )
-    verified = read_stage(spark, _out_ref(args.output, "verified"))
-    clusters = connected_components(verified)
-    write_stage(clusters, _out_ref(args.output, "clusters"), "overwrite")
-    clusters_m = read_stage(spark, _out_ref(args.output, "clusters"))
-    write_stage(
-        _survivors(pages, clusters_m, args.id_col, args.text_col),
-        _out_ref(args.output, "survivors"),
-        "overwrite",
     )
     return {"mode": args.mode}
 

@@ -69,11 +69,14 @@ class LSHIndex:
         from lsh_qd_spark.io import check_compat_meta, write_stage
 
         # appending new-kernel keys into an old-kernel index would split
-        # identical buckets into disjoint keys — fail loudly instead
+        # identical buckets into disjoint keys — fail loudly instead; an
+        # existing index with NO marker is equally unappendable (unknown
+        # builder), hence require_marker on this write path
         check_compat_meta(
             self.index_ref,
             self.config.key_hash(),
             layout={"n_shards": self.n_shards},
+            require_marker=self.exists(docs.sparkSession),
         )
         buckets = self.pipe.buckets(
             self.pipe.signatures_from_text(docs, text_col, id_col)

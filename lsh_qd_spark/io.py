@@ -133,6 +133,7 @@ def check_compat_meta(
     config_hash: str,
     what: str = "index",
     layout: dict | None = None,
+    require_marker: bool = False,
 ) -> None:
     """Fail LOUDLY when a persisted index was built by an incompatible
     kernel/config OR physical layout. config_hash includes KERNEL_VERSION,
@@ -144,8 +145,14 @@ def check_compat_meta(
     into an actionable rebuild instruction.
 
     A missing marker or a marker without a given layout key (pre-versioning
-    index, or catalog ref) is tolerated: we cannot distinguish "old layout"
-    from "built before markers existed".
+    index, or catalog ref) is tolerated on READ paths: we cannot
+    distinguish "old layout" from "built before markers existed".
+    ``require_marker=True`` (for APPEND paths, passed when the index
+    already holds data) makes a missing marker an error instead —
+    appending this kernel's rows into an unmarked index would mix
+    band-key generations undetectably, and the appender's own marker
+    write afterwards would stamp the mixed data as current, laundering
+    the corruption past every future check.
     """
     if not is_path_ref(ref):
         return
@@ -153,6 +160,16 @@ def check_compat_meta(
 
     path = os.path.join(ref, "_compat_meta.json")
     if not os.path.exists(path):
+        if require_marker:
+            raise RuntimeError(
+                f"persisted {what} at {ref!r} holds data but carries no "
+                f"_compat_meta.json marker, so its builder's kernel/config/"
+                f"layout is unknown; appending would mix band-key "
+                f"generations undetectably (and then stamp the mixed index "
+                f"as current). Rebuild it, or — only if it was built by "
+                f"this exact kernel, config and layout — stamp it first "
+                f"with lsh_qd_spark.io.write_compat_meta(...)"
+            )
         return
     with open(path) as f:
         recorded = json.load(f)

@@ -95,6 +95,10 @@ class IncrementalDedup:
             self.config.key_hash(),
             what="stream index",
             layout={"n_shards": self.n_shards},
+            # this is a WRITE path: appending into an existing unmarked
+            # index would mix band-key generations, then stamp the mix
+            # as current below — require the marker when data exists
+            require_marker=self._index_exists(),
         )
         spark = batch_df.sparkSession
         buckets = (

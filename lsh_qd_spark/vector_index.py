@@ -87,9 +87,16 @@ class IVFIndex:
 
     def append(self, vectors: DataFrame) -> None:
         """Insert without re-clustering (data-independent centroids)."""
-        from lsh_qd_spark.io import check_compat_meta, write_stage
+        from lsh_qd_spark.io import check_compat_meta, stage_exists, write_stage
 
-        check_compat_meta(self.index_ref, self._key_hash(), what="IVF index")
+        check_compat_meta(
+            self.index_ref,
+            self._key_hash(),
+            what="IVF index",
+            # write path: an existing unmarked index has an unknown
+            # centroid seed — appending would mix cell assignments
+            require_marker=stage_exists(vectors.sparkSession, self.index_ref),
+        )
         write_stage(self._assigned(vectors), self.index_ref, "append", ["cell"])
 
     def rows(self, spark: SparkSession) -> DataFrame:

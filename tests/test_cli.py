@@ -290,3 +290,41 @@ def test_cli_plan_only_bounds_decontam_eval_side(
     assert not os.path.exists(out)
     assert "eval_plan" in seen, "decontam prep never ran under plan-only"
     assert "GlobalLimit" in seen["eval_plan"]
+
+
+def test_cli_streaming_rejects_renamed_columns(tmp_path):
+    """Streaming reads the fixed pages schema (doc_id/text); a renamed
+    column would by-name-resolve to NULLs and 'succeed' with zero
+    duplicates — the CLI must refuse instead."""
+    import pytest
+
+    with pytest.raises(SystemExit, match="batch-mode only"):
+        main([
+            "--input", str(tmp_path / "in"),
+            "--output", str(tmp_path / "out"),
+            "--mode", "incremental",
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--id-col", "page_id",
+        ])
+
+
+def test_cli_prepped_corpus_materializes_once(spark, tmp_path, capsys):
+    """With corpus-prep flags and a checkpoint dir, the prepped corpus is
+    written once as a stage table and all downstream consumers (signature
+    scan, verify fetch, survivors) read the materialized table instead of
+    replaying the full-corpus prep shuffles per consumer."""
+    scfg = SynthConfig(n_docs=120, seed=67)
+    src = str(tmp_path / "pages")
+    generate_pages(spark, scfg).write.parquet(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    main([
+        "--input", src, "--output", out,
+        "--redact-pii",
+        "--checkpoint-dir", ckpt,
+    ])
+    capsys.readouterr()
+    assert os.path.isdir(f"{ckpt}/prepped_pages")
+    # survivors joined against the PREPPED (redacted) corpus
+    surv = spark.read.parquet(f"{out}/survivors")
+    assert surv.count() > 0

@@ -163,3 +163,17 @@ def test_incompatible_index_fails_loudly(spark, corpus, index, tmp_path):
     # a marker-less (pre-versioning) index is tolerated
     os.remove(meta)
     assert other.buckets(spark).count() > 0
+
+
+def test_append_to_unmarked_index_refuses(spark, corpus, tmp_path):
+    """Appending into an existing index whose marker is missing must
+    raise (unknown builder — mixing band-key generations then stamping
+    the mix as current would launder the corruption); querying the same
+    unmarked index stays tolerated (pre-versioning read path)."""
+    ref = str(tmp_path / "unmarked")
+    idx = LSHIndex(CFG, ref, n_shards=16)
+    idx.hash(corpus)
+    os.remove(os.path.join(ref, "_compat_meta.json"))
+    idx.buckets(spark)  # read path: fine
+    with pytest.raises(RuntimeError, match="no _compat_meta.json"):
+        idx.append(corpus.limit(1))

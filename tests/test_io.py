@@ -1,6 +1,8 @@
 """IO abstraction: parquet path mode round-trips (the sandbox mode), ref
 classification, and catalog detection (no Iceberg jars here → empty)."""
 
+import os
+
 from lsh_qd_spark.io import (
     is_path_ref,
     iceberg_catalogs,
@@ -129,3 +131,26 @@ def test_compat_meta_layout_mismatch(tmp_path):
     check_compat_meta(ref, "h1", layout={"n_shards": 128})
     with pytest.raises(RuntimeError):
         check_compat_meta(ref, "h2", layout={"n_shards": 128})
+
+
+def test_compat_meta_require_marker(tmp_path):
+    """Append paths pass require_marker=True when the index already holds
+    data: an existing UNMARKED index has an unknown builder, so appending
+    would mix band-key generations — and the appender's own marker write
+    afterwards would stamp the mixed data as current. Read paths stay
+    tolerant (pre-versioning indexes)."""
+    import pytest
+
+    from lsh_qd_spark.io import check_compat_meta, write_compat_meta
+
+    ref = str(tmp_path / "idx")
+    os.makedirs(ref)
+    (tmp_path / "idx" / "part-0.parquet").write_bytes(b"")
+    # read path: missing marker tolerated (documented)
+    check_compat_meta(ref, "h1")
+    # append path: missing marker is an error with a rebuild-or-stamp hint
+    with pytest.raises(RuntimeError, match="no _compat_meta.json"):
+        check_compat_meta(ref, "h1", require_marker=True)
+    # once stamped, the append path passes
+    write_compat_meta(ref, "h1")
+    check_compat_meta(ref, "h1", require_marker=True)
