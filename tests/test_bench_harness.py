@@ -382,3 +382,28 @@ def test_cluster_sim_ratchet(monkeypatch, tmp_path):
     # None is a pure read
     b = bench.update_best_cluster_sim(None)
     assert set(b) == {"cluster_sim_best_1x4c2", "cluster_sim_best_2x8c2"}
+
+
+def test_scaling_summary_digest():
+    """_scaling_summary flattens best_scaling.json into one efficiency per
+    slot + a target verdict; headline_best (a throughput record, not a
+    scaling pair) must not leak in, and an empty store reports unmet."""
+    empty = bench._scaling_summary(None)
+    assert empty["target_met"] is False and empty["best"] is None
+    best = {
+        "scaling_efficiency_n_to_4n": 0.507,
+        "n_pages": 3_000_000,
+        "within_grant_best": {"scaling_efficiency_n_to_4n": 0.915},
+        "cluster_sim_best_1x4c1": {"scaling_efficiency_n_to_4n": 0.85},
+        "cluster_sim_best_1x4c2": {"scaling_efficiency_n_to_4n": 0.552},
+        "headline_best": {"pages_per_sec": 27711.0},
+        "recorded_at": "2026-08-17T00:00:00Z",
+    }
+    s = bench._scaling_summary(best)
+    assert s["efficiency_by_slot"] == {
+        "primary_4_to_16": 0.507,
+        "within_grant_best": 0.915,
+        "cluster_sim_best_1x4c1": 0.85,
+        "cluster_sim_best_1x4c2": 0.552,
+    }
+    assert s["target_met"] is True and s["best"] == 0.915
