@@ -480,6 +480,55 @@ def cluster_worker(
     spark.stop()
 
 
+# Worker children in flight right now. Each worker python owns a JVM
+# grandchild (local[N] gateway or local-cluster executors), so a plain
+# subprocess kill — what subprocess.run's timeout does, and what the
+# watchdog's os._exit implicitly abandons — leaves that JVM thrashing the
+# host through the driver's NEXT phases (correctness run, entry smoke).
+# Workers therefore run as their own process-group leaders and both kill
+# paths reap the whole group.
+_live_children: list[subprocess.Popen] = []
+
+
+def _kill_child_tree(proc: subprocess.Popen) -> None:
+    """Best-effort SIGKILL of a worker's entire process group."""
+    import signal
+
+    try:
+        os.killpg(proc.pid, signal.SIGKILL)  # pgid == pid (new session)
+    except (ProcessLookupError, PermissionError):
+        pass
+    try:
+        proc.wait(timeout=10)
+    except Exception:  # noqa: BLE001 — reaping is best-effort
+        pass
+
+
+def _run_child(cmd: list[str], timeout: int = 1500) -> subprocess.CompletedProcess:
+    """subprocess.run with a process group + live registry: a timeout kills
+    the worker AND its JVM, and the hard-deadline watchdog can reap every
+    in-flight worker before it emits the partial payload and exits."""
+    proc = subprocess.Popen(
+        cmd,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        cwd=REPO,
+        start_new_session=True,
+    )
+    _live_children.append(proc)
+    try:
+        out, err = proc.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        _kill_child_tree(proc)
+        raise
+    finally:
+        try:
+            _live_children.remove(proc)
+        except ValueError:
+            pass
+    return subprocess.CompletedProcess(cmd, proc.returncode, out, err)
+
+
 def _run_cluster_worker(
     n_exec: int, cores: int, n_docs: int, mem_mb: int = 6144
 ) -> dict:
@@ -497,7 +546,7 @@ def _run_cluster_worker(
         str(n_docs),
         str(mem_mb),
     ]
-    proc = subprocess.run(cmd, capture_output=True, timeout=1500, cwd=REPO)
+    proc = _run_child(cmd)
     if proc.returncode != 0:
         sys.stderr.write(proc.stderr.decode()[-2000:])
         raise RuntimeError(
@@ -527,7 +576,7 @@ def _run_worker(
         cmd.append(str(n_trials))
         if n_docs:
             cmd.append(str(n_docs))
-    proc = subprocess.run(cmd, capture_output=True, timeout=1500, cwd=REPO)
+    proc = _run_child(cmd)
     if proc.returncode != 0:
         sys.stderr.write(proc.stderr.decode()[-2000:])
         raise RuntimeError(f"bench worker local[{cpus}] failed")
@@ -1363,6 +1412,11 @@ def _arm_watchdog(t_start: float) -> None:
     def fire() -> None:
         if _done.wait(timeout=max(0.0, t_start + HARD_DEADLINE_SEC - time.time())):
             return  # normal completion
+        # reap in-flight workers FIRST: os._exit abandons children, and an
+        # orphaned worker JVM would keep thrashing the host through the
+        # driver's next phases (correctness run, entry smoke)
+        for p in list(_live_children):
+            _kill_child_tree(p)
         _latest_payload.setdefault("metric", "total_bench_sec")
         _latest_payload.setdefault("unit", "sec")
         _latest_payload["value"] = round(time.time() - t_start, 2)
@@ -1432,8 +1486,16 @@ def _preempt_foreign_benches() -> None:
         foreign = [p for p in pids if p not in (me, os.getppid())]
         for pid in foreign:
             try:
-                os.kill(pid, 15)
-            except ProcessLookupError:
+                # worker children run as process-group leaders (see
+                # _run_child); killing the group reaps their JVMs too.
+                # Non-leaders (the watcher's top-level bench.py) raise
+                # ProcessLookupError from killpg only if gone — getpgid
+                # guards the leader check instead.
+                if os.getpgid(pid) == pid and pid != os.getpgid(me):
+                    os.killpg(pid, 15)
+                else:
+                    os.kill(pid, 15)
+            except (ProcessLookupError, PermissionError):
                 pass
         if foreign:
             sys.stderr.write(

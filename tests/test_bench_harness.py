@@ -407,3 +407,49 @@ def test_scaling_summary_digest():
         "cluster_sim_best_1x4c2": 0.552,
     }
     assert s["target_met"] is True and s["best"] == 0.915
+
+
+def test_run_child_reaps_grandchildren():
+    """Worker children run as process-group leaders so a timeout (and the
+    hard-deadline watchdog) can reap the worker's JVM grandchild — a plain
+    subprocess kill would orphan it and let it thrash the host through the
+    driver's next phases."""
+    import subprocess
+    import sys
+    import time
+
+    # normal completion: registry drains, output captured
+    p = bench._run_child([sys.executable, "-c", "print('ok')"], timeout=30)
+    assert p.returncode == 0 and p.stdout.strip() == b"ok"
+    assert bench._live_children == []
+
+    # timeout: the child AND its grandchild die with the group
+    # (pid via temp file: Popen.communicate's TimeoutExpired carries no
+    # stdout, unlike subprocess.run's)
+    import os
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("r", suffix=".pid") as tf:
+        code = (
+            "import subprocess, sys, time\n"
+            "g = subprocess.Popen([sys.executable, '-c',"
+            " 'import time; time.sleep(120)'])\n"
+            f"open({tf.name!r}, 'w').write(str(g.pid))\n"
+            "time.sleep(120)\n"
+        )
+        try:
+            bench._run_child([sys.executable, "-c", code], timeout=3)
+            raise AssertionError("expected TimeoutExpired")
+        except subprocess.TimeoutExpired:
+            pass
+        assert bench._live_children == []
+        grand_pid = int(tf.read().strip())
+    # SIGKILL to the group is immediate; allow a beat for the reap
+    for _ in range(50):
+        try:
+            os.kill(grand_pid, 0)
+        except ProcessLookupError:
+            break
+        time.sleep(0.1)
+    else:
+        raise AssertionError(f"grandchild {grand_pid} survived group kill")
