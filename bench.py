@@ -1506,7 +1506,19 @@ def _preempt_foreign_benches() -> None:
         sys.stderr.write(f"foreign-bench preemption failed: {e}\n")
 
 
+def _terminate_with_children(signum, frame) -> None:
+    """SIGTERM handler: a preempted bench (the graded run TERMs foreign
+    bench.py processes) must take its in-flight worker groups down with
+    it — dying bare would orphan exactly the JVMs preemption wanted gone."""
+    for p in list(_live_children):
+        _kill_child_tree(p)
+    os._exit(143)
+
+
 def main() -> None:
+    import signal
+
+    signal.signal(signal.SIGTERM, _terminate_with_children)
     if len(sys.argv) >= 4 and sys.argv[1] == "--worker":
         n_trials = int(sys.argv[4]) if len(sys.argv) >= 5 else None
         n_docs = int(sys.argv[5]) if len(sys.argv) >= 6 else None

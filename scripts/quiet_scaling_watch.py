@@ -144,6 +144,11 @@ def main() -> None:
                 os.environ,
                 SPARK_GRAFT_GATE_SLEEP_BUDGET="240",
                 SPARK_GRAFT_BENCH_DEADLINE="3000",
+                # the 1740 s default hard deadline protects DRIVER runs
+                # from rc=124; watcher attempts answer to the 4000 s
+                # subprocess timeout instead, so give the watchdog room —
+                # per-round ratchets keep partials either way
+                SPARK_GRAFT_BENCH_HARD_DEADLINE="3600",
             )
             # a timed-out attempt must not kill the multi-hour watch loop
             # (first run after a reboot also regenerates the 3M corpus)

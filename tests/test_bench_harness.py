@@ -453,3 +453,60 @@ def test_run_child_reaps_grandchildren():
         time.sleep(0.1)
     else:
         raise AssertionError(f"grandchild {grand_pid} survived group kill")
+
+
+def test_sigterm_reaps_worker_groups(tmp_path):
+    """Preemption TERMs foreign bench.py processes; the handler must take
+    in-flight worker groups (and their JVM grandchildren) down too —
+    dying bare would orphan exactly the JVMs preemption wanted gone."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    pidfile = str(tmp_path / "grand.pid")
+    # script files instead of nested -c literals: three quoting layers deep
+    worker_py = tmp_path / "worker.py"
+    worker_py.write_text(
+        "import subprocess, sys, time\n"
+        "g = subprocess.Popen([sys.executable, '-c',"
+        " 'import time; time.sleep(120)'])\n"
+        f"open({pidfile!r}, 'w').write(str(g.pid))\n"
+        "time.sleep(120)\n"
+    )
+    parent_py = tmp_path / "parent.py"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parent_py.write_text(
+        "import sys, signal\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "import bench\n"
+        "sys.argv = ['bench.py']\n"
+        "signal.signal(signal.SIGTERM, bench._terminate_with_children)\n"
+        f"bench._run_child([sys.executable, {str(worker_py)!r}], timeout=200)\n"
+    )
+    p = subprocess.Popen(
+        [sys.executable, str(parent_py)],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    try:
+        for _ in range(100):
+            if os.path.exists(pidfile):
+                break
+            time.sleep(0.1)
+        else:
+            raise AssertionError("worker never started")
+        grand = int(open(pidfile).read())
+        p.send_signal(signal.SIGTERM)
+        assert p.wait(timeout=15) == 143
+        for _ in range(50):
+            try:
+                os.kill(grand, 0)
+            except ProcessLookupError:
+                break
+            time.sleep(0.1)
+        else:
+            raise AssertionError("grandchild survived parent TERM")
+    finally:
+        if p.poll() is None:
+            p.kill()
