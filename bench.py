@@ -977,8 +977,7 @@ def headline_only() -> dict:
         "probe": probe,
         "achieved_concurrency": r.get("achieved_concurrency"),
     }
-    update_best_headline(rec)
-    best = update_best_headline(None)
+    best = update_best_headline(rec)
     # refresh the payload cache + BASELINE.md so a ratcheted record ships
     # in the next driver artifact even if no full bench runs in between
     cache = os.path.join(REPO, "BENCH", "payload.json")

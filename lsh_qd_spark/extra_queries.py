@@ -401,7 +401,11 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).select("doc_id")
     page = F.col("doc_id") % 100
-    v = F.col("doc_id") % 5
+    # variant residue must be INDEPENDENT of the page-group key: 5 divides
+    # 100, so doc_id % 5 is constant within a page group and every group
+    # would hold one spelling — the cross-spelling collapse the component
+    # exists for would go untested
+    v = F.floor(F.col("doc_id") / 100) % 5
     url = (
         F.when(v == 0, F.concat(F.lit("https://example.com/p/"), page))
         .when(v == 1, F.concat(F.lit("https://www.example.com/p/"), page,
@@ -421,7 +425,7 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_URL_DEDUP = r"""
 WITH urls AS (
   SELECT doc_id,
-    CASE CAST(doc_id % 5 AS INT)
+    CASE CAST((doc_id // 100) % 5 AS INT)
       WHEN 0 THEN 'https://example.com/p/' || (doc_id % 100)
       WHEN 1 THEN 'https://www.example.com/p/' || (doc_id % 100) || '#frag'
       WHEN 2 THEN 'HTTPS://EXAMPLE.COM:443/p/' || (doc_id % 100)

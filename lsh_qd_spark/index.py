@@ -66,7 +66,7 @@ class LSHIndex:
     ) -> None:
         """Incrementally add documents (no rebuild — the insert path of the
         reference's ``hash``, one tqdm row at a time there, one job here)."""
-        from lsh_qd_spark.io import check_compat_meta, write_stage
+        from lsh_qd_spark.io import check_compat_meta, write_compat_meta, write_stage
 
         # appending new-kernel keys into an old-kernel index would split
         # identical buckets into disjoint keys — fail loudly instead; an
@@ -82,6 +82,15 @@ class LSHIndex:
             self.pipe.signatures_from_text(docs, text_col, id_col)
         ).withColumn("shard", self._shard())
         write_stage(buckets, self.index_ref, "append", ["shard"])
+        # stamp AFTER the write (same order as hash() and the streaming
+        # twin): an index whose FIRST batch arrived via append() would
+        # otherwise carry no marker and fail every later append/read with
+        # a spurious rebuild instruction
+        write_compat_meta(
+            self.index_ref,
+            self.config.key_hash(),
+            layout={"n_shards": self.n_shards},
+        )
 
     def buckets(self, spark: SparkSession) -> DataFrame:
         from lsh_qd_spark.io import check_compat_meta, read_stage

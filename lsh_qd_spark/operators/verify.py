@@ -48,7 +48,7 @@ def _auto_fetch(
       ``shuffle`` mode, whose two joins each rescan and reshuffle the
       whole corpus.
 
-    The byte gate is EXACT — ``sum(length(text))`` over the checkpointed
+    The byte gate is EXACT — ``sum(octet_length(text))`` over the checkpointed
     candidate rows (one tiny candidate-sized job), not a sampled estimate;
     a head-of-corpus sample would be wrong twice over (parquet
     limit-pushdown reads whichever file lists first, and candidates can
@@ -68,9 +68,12 @@ def _auto_fetch(
     tchk = t.join(F.broadcast(ids), "_vid", "left_semi").localCheckpoint(
         eager=True
     )
+    # octet_length, not length: the cap guards executor MEMORY, and on
+    # non-ASCII corpora (CJK ~3 UTF-8 bytes/char) character count would
+    # undercount the broadcast payload up to ~4x
     n_bytes = (
         tchk.agg(
-            F.sum(F.coalesce(F.length("_vtx"), F.lit(0))).alias("_b")
+            F.sum(F.coalesce(F.octet_length("_vtx"), F.lit(0))).alias("_b")
         ).first()["_b"]
         or 0
     )

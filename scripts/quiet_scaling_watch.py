@@ -151,17 +151,32 @@ def main() -> None:
                 SPARK_GRAFT_BENCH_HARD_DEADLINE="3600",
             )
             # a timed-out attempt must not kill the multi-hour watch loop
-            # (first run after a reboot also regenerates the 3M corpus)
+            # (first run after a reboot also regenerates the 3M corpus).
+            # Run the attempt as a process-group leader and killpg on
+            # timeout: subprocess.run would SIGKILL only bench.py itself,
+            # skipping its SIGTERM reaper and orphaning in-flight worker
+            # JVMs that burn the quiet window the watch exists to catch.
+            proc = subprocess.Popen(
+                [sys.executable, "bench.py", *args],
+                cwd=REPO,
+                env=env,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+                start_new_session=True,
+            )
             try:
-                r = subprocess.run(
-                    [sys.executable, "bench.py", *args],
-                    cwd=REPO,
-                    env=env,
-                    capture_output=True,
-                    timeout=4000,
-                )
-                rc = r.returncode
+                rc = proc.wait(timeout=4000)
             except subprocess.TimeoutExpired:
+                import signal
+
+                try:
+                    os.killpg(proc.pid, signal.SIGTERM)  # let reapers run
+                    proc.wait(timeout=30)
+                except (ProcessLookupError, subprocess.TimeoutExpired):
+                    try:
+                        os.killpg(proc.pid, signal.SIGKILL)
+                    except ProcessLookupError:
+                        pass
                 rc = "timeout"
             print(
                 f"{args[0]} run rc={rc} best={best_recorded()} "

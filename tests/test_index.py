@@ -177,3 +177,19 @@ def test_append_to_unmarked_index_refuses(spark, corpus, tmp_path):
     idx.buckets(spark)  # read path: fine
     with pytest.raises(RuntimeError, match="no _compat_meta.json"):
         idx.append(corpus.limit(1))
+
+
+def test_append_first_index_is_marked_and_appendable(spark, corpus, tmp_path):
+    """An index whose FIRST batch arrives via append() (no prior hash())
+    must stamp the compat marker like hash() does — otherwise every later
+    append() raises a spurious rebuild instruction and the read path
+    silently loses compat protection."""
+    ref = str(tmp_path / "append_born")
+    idx = LSHIndex(CFG, ref, n_shards=16)
+    idx.append(corpus.limit(40))
+    assert os.path.exists(os.path.join(ref, "_compat_meta.json"))
+    before = idx.buckets(spark).count()
+    idx.append(
+        corpus.limit(10).withColumn("doc_id", F.col("doc_id") + 2_000_000)
+    )
+    assert idx.buckets(spark).count() > before
