@@ -132,9 +132,19 @@ class LSHIndex:
         # a stale managed-table location (e.g. metadata lost with a previous
         # in-memory catalog) blocks the CREATE — drop both
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        # managed-table layout: <warehouse>/<table> for the default db,
+        # <warehouse>/<db>.db/<table> otherwise — string-joining the raw
+        # (possibly db-qualified) name would miss the real directory and
+        # leave the stale location in place
+        parts = table_name.lower().split(".")
+        if len(parts) == 1:
+            db, tbl = spark.catalog.currentDatabase().lower(), parts[0]
+        else:
+            db, tbl = parts[-2], parts[-1]
+        rel = tbl if db == "default" else os.path.join(f"{db}.db", tbl)
         loc = os.path.join(
             spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
-            table_name.lower(),
+            rel,
         )
         if os.path.isdir(loc):
             import shutil

@@ -58,9 +58,31 @@ def band_buckets(
     which Catalyst would push below the signature projection and thereby
     re-evaluate the (expensive) signature UDF once for the filter and once
     for the output (see fast_shingle.make_text_minhash_udf).
+
+    A signature SHORTER than ``num_bands * rows_per_band`` fails the job
+    loudly (per-row assert, codegen-cheap): F.slice past the array end
+    returns the empty array for EVERY doc, which would silently band the
+    whole corpus into one bucket per out-of-range band — a quadratic pair
+    explosion with inflated n_bands, not an error.
     """
+    need = num_bands * rows_per_band
+    # assert_true throws on NULL conditions too — make the null-sig
+    # (empty-doc) case explicitly pass the assert
+    guard = F.assert_true(
+        F.col(sig_col).isNull() | (F.size(F.col(sig_col)) >= need),
+        F.concat(
+            F.lit(
+                f"band_buckets: signature shorter than num_bands*rows_per_band"
+                f"={need} (doc_id="
+            ),
+            F.col(id_col).cast("string"),
+            F.lit(", len="),
+            F.size(F.col(sig_col)).cast("string"),
+            F.lit(") — was the sig table built with a smaller num_hashes?"),
+        ),
+    )
     bands = F.when(
-        F.col(sig_col).isNotNull(),
+        F.col(sig_col).isNotNull() & guard.isNull(),
         F.transform(
             F.sequence(F.lit(0), F.lit(num_bands - 1)),
             lambda i: F.slice(

@@ -78,27 +78,36 @@ def connected_components(
             pdf = edges.select(
                 F.col(id_a).alias("src"), F.col(id_b).alias("dst")
             ).toPandas()
-            vert_ids = (
-                vertices.select("doc_id").toPandas()["doc_id"].to_numpy()
-                if vertices is not None
-                else None
+            # Only EDGES are collected — the threshold bounds them. The
+            # vertex table is corpus-sized (include_singletons on a 500M-doc
+            # corpus) and must never ride the driver path: singletons are
+            # exactly the vertices absent from the edge labels, appended
+            # distributively below with label = own id.
+            if len(pdf) == 0:
+                lab = spark.createDataFrame([], "doc_id long, cluster_id long")
+            else:
+                lab = spark.createDataFrame(_driver_union_find(pdf, None))
+            if vertices is None:
+                return lab
+            singles = (
+                vertices.select("doc_id")
+                .join(F.broadcast(lab.select("doc_id")), "doc_id", "left_anti")
+                .withColumn("cluster_id", F.col("doc_id").cast("long"))
             )
-            if len(pdf) == 0 and (vert_ids is None or len(vert_ids) == 0):
-                return spark.createDataFrame(
-                    [], "doc_id long, cluster_id long"
-                )
-            result = _driver_union_find(pdf, vert_ids)
-            return spark.createDataFrame(result)
+            return lab.unionByName(singles)
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
+    # checkpoint sym BEFORE deriving verts: verts built on the raw plan
+    # would re-execute the union+distinct (and the whole verified-edge
+    # lineage) a second time when its own checkpoint materializes
+    sym = sym.localCheckpoint(eager=True)
     verts = sym.select(F.col("src").alias("doc_id")).distinct()
     if vertices is not None:
         verts = verts.union(vertices.select("doc_id")).distinct()
     labels = verts.withColumn("label", F.col("doc_id")).localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)
 
     converged = False
     for _ in range(max_iter):

@@ -87,6 +87,13 @@ def candidate_pairs(
     reference's collision frequency, ``lsh-qd.py:118-131``); pairs must meet
     ``n_bands >= alpha`` (AlphaLSH filter, ``lsh-qd.py:295``). Star pairs
     from oversized buckets are kept regardless of alpha and flagged.
+
+    CONSUMER CONTRACT: star rows carry the sentinel ``n_bands = 0`` (a star
+    edge's true band count is never aggregated — that is the point of the
+    O(n) star shortcut). Any downstream cut on ``n_bands`` must therefore
+    be ``(n_bands >= a) | via_star``, or it silently drops exactly the
+    mega-bucket edges the star mechanism exists to preserve
+    (``query.alpha_tiers`` does this).
     """
     if two_phase:
         # Phase 1 (narrow shuffle): bucket sizes + representative. Keys of
@@ -164,9 +171,13 @@ def candidate_pairs(
             large_pairs = None
         # Phase 2 (one wide shuffle): bounded collect per bucket + JVM pair
         # explosion. Singleton buckets are dropped before expansion.
+        # collect_set, not collect_list: duplicate (band, key, doc_id) rows
+        # (dirty input with repeated doc_ids) would otherwise emit (d, d)
+        # self-pairs and double-count n_bands — matching the one-phase
+        # path's bucket_members
         members = (
             small_buckets.groupBy("band_idx", "band_key")
-            .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+            .agg(F.sort_array(F.collect_set("doc_id")).alias("members"))
             .where(F.size("members") >= 2)
         )
         small_pairs = members.select(

@@ -89,5 +89,17 @@ def query_text_neighbors(
 def alpha_tiers(pairs: DataFrame, alphas: list[int]) -> dict[int, DataFrame]:
     """One candidate-pair DataFrame, several alpha cuts — the
     AlphaRankedNeighborContainer (C4, /root/reference/lsh-qd.py:408-439):
-    all tiers share one pair-count aggregation; each tier is a HAVING cut."""
-    return {a: pairs.where(F.col("n_bands") >= a) for a in sorted(alphas)}
+    all tiers share one pair-count aggregation; each tier is a HAVING cut.
+
+    Star rows (``via_star``, mega-bucket edges with sentinel ``n_bands=0``)
+    are kept in EVERY tier when the column is present: ``candidate_pairs``
+    exempts them from the alpha filter (their true band count is never
+    aggregated), so a plain ``n_bands >= a`` cut would silently drop every
+    mega-bucket edge — see the consumer contract in ``candidate_pairs``."""
+    cuts: dict[int, DataFrame] = {}
+    for a in sorted(alphas):
+        keep = F.col("n_bands") >= a
+        if "via_star" in pairs.columns:
+            keep = keep | F.col("via_star")
+        cuts[a] = pairs.where(keep)
+    return cuts

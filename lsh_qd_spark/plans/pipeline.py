@@ -132,6 +132,12 @@ class DedupPipeline:
         self.config = config or DedupConfig()
         self.checkpoint_dir = checkpoint_dir
         self.metrics: dict[str, StageMetrics] = {}
+        # persist() handles created by run() without a checkpoint_dir —
+        # released on the next run() or by release(); without this, every
+        # run() stacks corpus-scale InMemoryRelation blocks in executor
+        # storage for the life of the session (the very pattern
+        # operators/pairs.py rejects for its own intermediates)
+        self._persisted: list[DataFrame] = []
 
     # --- individual stages (each usable standalone) -------------------
 
@@ -223,6 +229,17 @@ class DedupPipeline:
     ) -> DataFrame:
         return connected_components(verified, vertices)
 
+    def release(self) -> None:
+        """Unpersist the in-memory stage caches of the previous ``run()``.
+
+        Safe to call once that run's returned DataFrames have been consumed
+        (or abandoned); consuming them afterwards still works — Spark
+        recomputes from lineage — it is only the cache reuse that is lost.
+        """
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted.clear()
+
     # --- full run ------------------------------------------------------
 
     def run(
@@ -243,6 +260,9 @@ class DedupPipeline:
             if self.checkpoint_dir
             else None
         )
+        # a previous run's in-memory stage caches are dead weight now —
+        # release them before persisting this run's
+        self.release()
 
         def stage(name: str, build) -> DataFrame:
             if store is not None:
@@ -263,6 +283,7 @@ class DedupPipeline:
                 # (signatures) stay unpersisted so the narrow
                 # scan→UDF→explode chain pipelines into one stage.
                 df = df.persist()
+                self._persisted.append(df)
             return df
 
         if self.config.shingle_hash == "fast":
@@ -299,12 +320,15 @@ class DedupPipeline:
             bucketed = stage("buckets", lambda: self.buckets(sigs))
             cand = stage("pairs", lambda: self.pairs(bucketed))
             ver = stage("verified", lambda: self.verified(cand, shingled))
-        # empty docs (null sig) are excluded from singleton vertices too —
-        # reference empty-set skip; rare path, the extra filter is fine here
+        # Singleton vertices = every doc with a non-null sig (reference
+        # empty-set skip). Derived from the BUCKETS stage — persisted or
+        # checkpointed above — not from sigs: a `sig IS NOT NULL` filter on
+        # the unpersisted signature stage is pushed below the projection and
+        # re-runs the fused kernel over the whole corpus just to list ids.
+        # Every non-null sig emits num_bands bucket rows, so the distinct
+        # bucket doc_id set IS the non-null-sig doc set.
         vertices = (
-            sigs.where(F.col("sig").isNotNull()).select("doc_id")
-            if include_singletons
-            else None
+            bucketed.select("doc_id").distinct() if include_singletons else None
         )
         clustered = stage("clusters", lambda: self.clusters(ver, vertices))
         return {

@@ -90,3 +90,34 @@ def test_cc_long_chain_distributed(spark):
 def test_cc_empty(spark):
     edges_df = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(edges_df).count() == 0
+
+
+def test_cc_empty_edges_with_vertices(spark):
+    """No duplicate edges at all: every vertex is its own singleton —
+    both the driver short-circuit and the distributed path."""
+    edges_df = spark.createDataFrame([], "id_a long, id_b long")
+    verts = spark.range(10).select(F.col("id").alias("doc_id"))
+    for threshold in (2_000_000, 0):
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(
+                edges_df, vertices=verts, driver_edge_threshold=threshold
+            ).collect()
+        }
+        assert got == {i: i for i in range(10)}
+
+
+def test_cc_driver_path_vertices_stay_distributed(spark, random_graph):
+    """The driver short-circuit collects ONLY edges; singleton vertices are
+    appended via a distributed anti-join (a corpus-sized vertex table must
+    never ride the driver path). Labels identical to the distributed loop."""
+    edges_df = spark.createDataFrame(random_graph, "id_a long, id_b long")
+    verts = spark.range(450).select(F.col("id").alias("doc_id"))
+    driver = connected_components(edges_df, vertices=verts)
+    dist = connected_components(edges_df, vertices=verts, driver_edge_threshold=0)
+    as_map = lambda df: {r["doc_id"]: r["cluster_id"] for r in df.collect()}
+    assert as_map(driver) == as_map(dist)
+    # the driver-path plan must not contain a vertex-table collect: the
+    # singleton branch shows up as a join, so the result is a real
+    # distributed plan, not a LocalTableScan of 450 pre-collected rows
+    assert "Join" in driver._jdf.queryExecution().executedPlan().toString()

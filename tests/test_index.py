@@ -193,3 +193,25 @@ def test_append_first_index_is_marked_and_appendable(spark, corpus, tmp_path):
         corpus.limit(10).withColumn("doc_id", F.col("doc_id") + 2_000_000)
     )
     assert idx.buckets(spark).count() > before
+
+
+def test_hash_bucketed_qualified_name_clears_stale_location(spark, corpus, index):
+    """A db-qualified table name resolves to <warehouse>/<db>.db/<table> —
+    the stale-location cleanup must remove THAT directory (a string-join of
+    warehouse + raw name misses it and the CREATE fails with 'location
+    already exists')."""
+    import shutil
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS lshdb")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    stale = os.path.join(wh, "lshdb.db", "idx_qualified")
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "orphan.parquet"), "w") as f:
+        f.write("stale bytes from a lost catalog")
+    try:
+        index.hash_bucketed(corpus, "lshdb.idx_qualified", n_buckets=4)
+        assert spark.table("lshdb.idx_qualified").count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lshdb.idx_qualified")
+        spark.sql("DROP DATABASE IF EXISTS lshdb")
+        shutil.rmtree(stale, ignore_errors=True)

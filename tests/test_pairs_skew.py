@@ -64,3 +64,47 @@ def test_star_edges_connect_mega_bucket(spark):
     edges = _edge_set(out)
     assert all(a == 0 for a, _, star in edges if star)
     assert {b for _, b, _ in edges} == set(range(1, 50))
+
+
+def test_duplicate_bucket_rows_no_self_pairs(spark):
+    """Dirty input: the same doc_id appearing twice in a bucket must not
+    emit (d, d) self-pairs nor double-count n_bands (collect_set, not
+    collect_list, in the two-phase member aggregation)."""
+    rows = [
+        (1, 0, "k"), (1, 0, "k"),           # doc 1 duplicated in band 0
+        (2, 0, "k"),
+        (1, 1, "k2"), (2, 1, "k2"),
+    ]
+    buckets = spark.createDataFrame(
+        rows, "doc_id long, band_idx int, band_key string"
+    )
+    for two_phase in (True, False):
+        out = candidate_pairs(
+            buckets, alpha=1, max_bucket_size=10, two_phase=two_phase
+        ).collect()
+        got = {(r.id_a, r.id_b): r.n_bands for r in out}
+        assert got == {(1, 2): 2}, f"two_phase={two_phase}: {got}"
+        # alpha=2 must also hold exactly (no inflation past the real count)
+        out2 = candidate_pairs(
+            buckets, alpha=3, max_bucket_size=10, two_phase=two_phase
+        ).collect()
+        assert out2 == []
+
+
+def test_alpha_tiers_keep_star_edges(spark):
+    """query.alpha_tiers must not drop mega-bucket star edges (sentinel
+    n_bands=0) at any alpha cut — the consumer contract in
+    candidate_pairs."""
+    from lsh_qd_spark.operators.query import alpha_tiers
+
+    buckets = _bucket_rows(spark, n_mega_buckets=1, mega_size=30, n_small=4)
+    pairs = candidate_pairs(buckets, alpha=1, max_bucket_size=10)
+    tiers = alpha_tiers(pairs, [1, 2])
+    stars_in_input = {e for e in _edge_set(pairs) if e[2]}
+    assert len(stars_in_input) == 29
+    for a, tier in tiers.items():
+        stars = {e for e in _edge_set(tier) if e[2]}
+        assert stars == stars_in_input, f"alpha={a} dropped star edges"
+    # non-star pairs are still alpha-filtered: the small buckets collide in
+    # one band only, so they vanish at alpha=2
+    assert {e for e in _edge_set(tiers[2]) if not e[2]} == set()

@@ -107,3 +107,28 @@ def test_config_change_invalidates(spark, docs, tmp_path):
     assert sorted(pipe2.metrics) == sorted(STAGES)  # all recomputed
     for s, (m, _) in _manifests(root).items():
         assert m["config_hash"] == pipe2.config.config_hash(), s
+
+
+def test_run_releases_previous_persists(spark, docs):
+    """Without a checkpoint_dir, run() persists multi-consumer stages; a
+    second run() (or release()) must unpersist the previous run's handles —
+    otherwise every invocation stacks corpus-scale InMemoryRelation blocks
+    in executor storage for the life of the session."""
+    pipe = DedupPipeline(DedupConfig(**CFG))
+    out1 = pipe.run(docs)
+    out1["clusters"].count()  # materialize the caches
+    first = list(pipe._persisted)
+    assert first, "multi-consumer stages should have been persisted"
+    assert all(df.storageLevel.useMemory for df in first)
+    pipe.release()
+    assert not pipe._persisted
+    assert all(not df.storageLevel.useMemory for df in first)
+    # a fresh run() re-persists (run() itself calls release() first; with
+    # identical inputs the CacheManager may dedupe to the same entries —
+    # the guarantee is no UNRELEASABLE accumulation, which the tracking
+    # list + the release() semantics above pin)
+    out2 = pipe.run(docs)
+    assert pipe._persisted
+    out2["clusters"].count()
+    pipe.release()
+    assert not pipe._persisted
