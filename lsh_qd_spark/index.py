@@ -105,11 +105,14 @@ class LSHIndex:
         return read_stage(spark, self.index_ref)
 
     def exists(self, spark: SparkSession) -> bool:
-        from lsh_qd_spark.io import is_path_ref, stage_exists
+        from lsh_qd_spark.io import is_path_ref, list_child_names, stage_exists
 
         if is_path_ref(self.index_ref):
-            return os.path.isdir(self.index_ref) and any(
-                f.startswith("shard=") for f in os.listdir(self.index_ref)
+            # URI-safe listing: a remote index_ref probed with driver-local
+            # os.path would always read "absent"
+            return any(
+                f.startswith("shard=")
+                for f in list_child_names(self.index_ref, spark)
             )
         return stage_exists(spark, self.index_ref)
 

@@ -32,9 +32,20 @@ ICEBERG_CATALOG_IMPLS = (
 
 def iceberg_catalogs(spark: SparkSession) -> list[str]:
     """Names of Iceberg catalogs configured on this session (empty in the
-    sandbox — no Iceberg jars)."""
+    sandbox — no Iceberg jars). Reads the session's RUNTIME conf, not
+    sparkContext.getConf(): catalogs registered after session creation via
+    ``spark.conf.set(...)`` are valid (they resolve lazily) but never
+    appear in the static SparkConf."""
     out = []
-    for k, v in spark.sparkContext.getConf().getAll():
+    try:
+        it = spark._jsparkSession.conf().getAll().iterator()
+        entries = []
+        while it.hasNext():
+            e = it.next()
+            entries.append((e._1(), e._2()))
+    except Exception:  # pragma: no cover - py4j surface drift
+        entries = list(spark.sparkContext.getConf().getAll())
+    for k, v in entries:
         parts = k.split(".")
         if (
             k.startswith("spark.sql.catalog.")
@@ -43,6 +54,79 @@ def iceberg_catalogs(spark: SparkSession) -> list[str]:
         ):
             out.append(parts[3])
     return sorted(out)
+
+
+def _is_uri(ref: str) -> bool:
+    """True for scheme-qualified paths (hdfs://, s3a://, file://, ...) that
+    must go through the Hadoop FileSystem API — driver-local ``os.path``
+    calls on them are always False/empty, which silently disables every
+    existence-gated behavior (index unions, compat markers, resume)."""
+    return "://" in ref
+
+
+def _hadoop_fs(ref: str, spark: SparkSession | None = None):
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            f"no active SparkSession to resolve remote path {ref!r}"
+        )
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(ref)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def path_exists(ref: str, spark: SparkSession | None = None) -> bool:
+    """Existence check that works for local paths AND scheme-qualified
+    URIs (via the Hadoop FileSystem of an active session)."""
+    if not _is_uri(ref):
+        return os.path.exists(ref)
+    fs, p = _hadoop_fs(ref, spark)
+    return fs.exists(p)
+
+
+def list_child_names(ref: str, spark: SparkSession | None = None) -> list[str]:
+    """Child entry names of a directory — [] when missing. URI-safe."""
+    if not _is_uri(ref):
+        return os.listdir(ref) if os.path.isdir(ref) else []
+    fs, p = _hadoop_fs(ref, spark)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def _read_text(ref: str, spark: SparkSession | None = None) -> str:
+    if not _is_uri(ref):
+        with open(ref) as f:
+            return f.read()
+    fs, p = _hadoop_fs(ref, spark)
+    stream = fs.open(p)
+    try:
+        sp = spark or SparkSession.getActiveSession()
+        return sp._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def _write_text(
+    ref: str, content: str, spark: SparkSession | None = None
+) -> None:
+    if not _is_uri(ref):
+        os.makedirs(os.path.dirname(ref), exist_ok=True)
+        with open(ref, "w") as f:
+            f.write(content)
+        return
+    fs, p = _hadoop_fs(ref, spark)
+    stream = fs.create(p, True)
+    try:
+        stream.write(bytearray(content, "utf-8"))
+    finally:
+        stream.close()
+
+
+def _join_ref(ref: str, name: str) -> str:
+    return ref.rstrip("/") + "/" + name
 
 
 def is_path_ref(ref: str) -> bool:
@@ -101,7 +185,7 @@ read_stage = read_table
 
 def stage_exists(spark: SparkSession, ref: str) -> bool:
     if is_path_ref(ref):
-        return os.path.exists(ref)
+        return path_exists(ref, spark)
     return spark.catalog.tableExists(ref)
 
 
@@ -123,9 +207,10 @@ def write_compat_meta(
         return
     import json
 
-    os.makedirs(ref, exist_ok=True)
-    with open(os.path.join(ref, "_compat_meta.json"), "w") as f:
-        json.dump({"config_hash": config_hash, **(layout or {})}, f)
+    _write_text(
+        _join_ref(ref, "_compat_meta.json"),
+        json.dumps({"config_hash": config_hash, **(layout or {})}),
+    )
 
 
 def check_compat_meta(
@@ -158,8 +243,8 @@ def check_compat_meta(
         return
     import json
 
-    path = os.path.join(ref, "_compat_meta.json")
-    if not os.path.exists(path):
+    path = _join_ref(ref, "_compat_meta.json")
+    if not path_exists(path):
         if require_marker:
             raise RuntimeError(
                 f"persisted {what} at {ref!r} holds data but carries no "
@@ -171,8 +256,7 @@ def check_compat_meta(
                 f"with lsh_qd_spark.io.write_compat_meta(...)"
             )
         return
-    with open(path) as f:
-        recorded = json.load(f)
+    recorded = json.loads(_read_text(path))
     mismatches = []
     if recorded.get("config_hash") != config_hash:
         mismatches.append(

@@ -88,16 +88,37 @@ class StreamDedup:
         # (existing < new for intra-batch; any orientation vs the index);
         # a re-crawled doc_id can surface the same pair in a later epoch,
         # so aggregate with max(n_bands) rather than trusting uniqueness.
-        return (
-            hits.select(
-                F.least("new_doc", "existing_doc").alias("id_a"),
-                F.greatest("new_doc", "existing_doc").alias("id_b"),
-                "n_bands",
-            )
+        canon = hits.select(
+            F.least("new_doc", "existing_doc").alias("id_a"),
+            F.greatest("new_doc", "existing_doc").alias("id_b"),
+            "n_bands",
+            "via_star",
+        )
+        counted = (
+            canon.where(~F.col("via_star"))
             .groupBy("id_a", "id_b")
             .agg(F.max("n_bands").alias("n_bands"))
             .withColumn("via_star", F.lit(False))
         )
+        # mega-bucket star hits keep the sentinel n_bands=0 and yield to a
+        # counted row for the same pair (consumer contract,
+        # operators/pairs.candidate_pairs). Eager checkpoint: counted feeds
+        # the union AND the anti-join — same double-execution hazard as the
+        # batch path.
+        counted = counted.localCheckpoint(eager=True)
+        stars = (
+            canon.where(F.col("via_star"))
+            .select("id_a", "id_b")
+            .distinct()
+            .join(counted.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+            .select(
+                "id_a",
+                "id_b",
+                F.lit(0).cast("long").alias("n_bands"),
+                F.lit(True).alias("via_star"),
+            )
+        )
+        return counted.unionByName(stars)
 
     def verified_pairs(
         self,

@@ -42,7 +42,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lsh_qd_spark.config import DedupConfig
-from lsh_qd_spark.io import read_stage, write_stage
+from lsh_qd_spark.io import list_child_names, read_stage, write_stage
+from lsh_qd_spark.operators.pairs import BIG_KEY_BROADCAST_CAP
 from lsh_qd_spark.plans.pipeline import DedupPipeline
 
 PAGES_STREAM_SCHEMA = (
@@ -50,7 +51,10 @@ PAGES_STREAM_SCHEMA = (
     "text string, lang string"
 )
 
-HITS_SCHEMA = "new_doc long, existing_doc long, n_bands long, epoch long"
+HITS_SCHEMA = (
+    "new_doc long, existing_doc long, n_bands long, via_star boolean, "
+    "epoch long"
+)
 
 
 class IncrementalDedup:
@@ -75,10 +79,13 @@ class IncrementalDedup:
 
     def _index_exists(self) -> bool:
         # dynamic partition overwrite writes only epoch=N/ dirs (no
-        # top-level _SUCCESS marker)
-        return os.path.isdir(self.index_dir) and any(
+        # top-level _SUCCESS marker). list_child_names is URI-safe: a
+        # remote work_dir (hdfs://, s3a://) checked with driver-local
+        # os.path would always read "absent", silently disabling the
+        # cross-batch index join (zero recall across batches, no error).
+        return any(
             f.startswith("epoch=") or f.endswith(".parquet")
-            for f in os.listdir(self.index_dir)
+            for f in list_child_names(self.index_dir)
         )
 
     def _shard(self) -> F.Column:
@@ -107,7 +114,20 @@ class IncrementalDedup:
             .withColumn("shard", self._shard())
             .persist()
         )
+        try:
+            self._process_batch_inner(spark, buckets, epoch_id)
+        finally:
+            # unpersist on EVERY exit: a sink/metrics failure mid-batch
+            # followed by Structured Streaming's replay would otherwise
+            # stack one orphaned corpus-scale cache per attempt
+            buckets.unpersist()
 
+    def _process_batch_inner(
+        self, spark: SparkSession, buckets: DataFrame, epoch_id: int
+    ) -> None:
+        from lsh_qd_spark.io import write_compat_meta
+
+        keys = ["shard", "band_idx", "band_key"]
         # Build side: accumulated index (minus this epoch — replay safety)
         # pruned to the batch's shards, UNION the batch's own buckets so
         # intra-batch duplicates pair up.
@@ -142,9 +162,67 @@ class IncrementalDedup:
                     F.lit(True).alias("from_index"),
                 )
             )
+            # restrict the index to the BATCH's bucket keys before anything
+            # touches it: only matching keys can produce hits, and the
+            # bucket-size aggregation below must not pay for every bucket in
+            # the matching shards. Broadcast fits the streaming regime
+            # (micro-batches small vs the index) — the same assumption the
+            # equi-join itself makes.
+            batch_keys = probe.select(*keys).distinct()
+            index = index.join(F.broadcast(batch_keys), keys, "left_semi")
             build = index.unionByName(build)
+        # Mega-bucket cap (batch-path parity, operators/pairs.py): a
+        # boilerplate bucket accumulated over the stream would make the
+        # per-epoch join output quadratic in cluster size. Buckets over
+        # max_bucket_size emit one STAR edge per NEW doc against the
+        # bucket representative instead of all pairs. The rep prefers the
+        # smallest INDEXED member (a node already connected in earlier
+        # epochs) so the component stays connected across the stream even
+        # when a later arrival becomes the bucket's global min.
+        # Eager localCheckpoint: build feeds the size aggregation AND the
+        # hits join — without it the pruned index scan runs twice.
+        build = build.localCheckpoint(eager=True)
+        sizes = build.groupBy(*keys).agg(
+            F.count("*").alias("bucket_n"),
+            F.min(
+                F.when(F.col("from_index"), F.col("existing_doc"))
+            ).alias("rep_idx"),
+            F.min("existing_doc").alias("rep_any"),
+        )
+        big = sizes.where(
+            F.col("bucket_n") > self.config.max_bucket_size
+        ).select(*keys, F.coalesce("rep_idx", "rep_any").alias("rep"))
+        big_ck = big.localCheckpoint(eager=True)
+        n_big = big_ck.count()
+        if n_big:
+            # same no-silent-truncation contract as candidate_pairs: over
+            # the broadcast budget the splits run as shuffle joins
+            big_df = (
+                F.broadcast(big_ck)
+                if n_big <= BIG_KEY_BROADCAST_CAP
+                else big_ck
+            )
+            small_build = build.join(big_df.select(*keys), keys, "left_anti")
+            star_hits = (
+                probe.join(big_df, keys)
+                .where(F.col("doc_id") != F.col("rep"))
+                .select(
+                    F.col("doc_id").alias("new_doc"),
+                    F.col("rep").alias("existing_doc"),
+                )
+                .distinct()
+                .select(
+                    "new_doc",
+                    "existing_doc",
+                    F.lit(0).cast("long").alias("n_bands"),
+                    F.lit(True).alias("via_star"),
+                )
+            )
+        else:
+            small_build = build
+            star_hits = None
         hits = (
-            probe.join(build, ["shard", "band_idx", "band_key"])
+            probe.join(small_build, keys)
             # vs index: any orientation; intra-batch: canonical order only
             .where(
                 F.col("from_index")
@@ -162,8 +240,22 @@ class IncrementalDedup:
             .groupBy(F.col("doc_id").alias("new_doc"), F.col("existing_doc"))
             .agg(F.count("*").alias("n_bands"))
             .where(F.col("n_bands") >= self.config.alpha)
-            .withColumn("epoch", F.lit(epoch_id))
+            .withColumn("via_star", F.lit(False))
         )
+        if star_hits is not None:
+            # a pair can be both counted (small buckets) and starred (a
+            # mega bucket in another band) in one epoch — keep the counted
+            # row only. Eager checkpoint so the anti-join's second read of
+            # the counted pairs does not re-run the hits chain (the
+            # measured double-execution hazard operators/pairs.py pins).
+            hits = hits.localCheckpoint(eager=True)
+            star_hits = star_hits.join(
+                hits.select("new_doc", "existing_doc"),
+                ["new_doc", "existing_doc"],
+                "left_anti",
+            )
+            hits = hits.unionByName(star_hits)
+        hits = hits.withColumn("epoch", F.lit(epoch_id))
         # epoch-partitioned dynamic overwrite on BOTH sinks → a replayed
         # epoch rewrites its own partitions, never double-appends.
         write_stage(hits, self.hits_dir, "dynamic_overwrite", ["epoch"])
@@ -195,29 +287,34 @@ class IncrementalDedup:
             n_hits = (
                 self.hits(spark).where(F.col("epoch") == epoch_id).count()
             )
-            os.makedirs(self.metrics_dir, exist_ok=True)
-            with open(
-                os.path.join(self.metrics_dir, f"epoch_{epoch_id}.json"), "w"
-            ) as f:
-                json.dump(
+            from lsh_qd_spark.io import _join_ref, _write_text
+
+            # _write_text is URI-safe: os.makedirs on an s3a://... metrics
+            # dir would create a junk LOCAL directory and "succeed"
+            _write_text(
+                _join_ref(self.metrics_dir, f"epoch_{epoch_id}.json"),
+                json.dumps(
                     {
                         "epoch": epoch_id,
                         "bucket_rows": sum(shard_rows.values()),
                         "hits": n_hits,
                         "shard_rows": shard_rows,
                     },
-                    f,
                     indent=2,
-                )
-        buckets.unpersist()
+                ),
+                spark,
+            )
 
     def start(self, spark: SparkSession, source_dir: str, **read_options):
-        """Stream pages from a directory source (swap for kafka in prod)."""
-        stream = (
-            spark.readStream.schema(PAGES_STREAM_SCHEMA)
-            .option("maxFilesPerTrigger", read_options.pop("maxFilesPerTrigger", 4))
-            .parquet(source_dir)
+        """Stream pages from a directory source (swap for kafka in prod).
+        Extra ``read_options`` (pathGlobFilter, latestFirst, ...) are all
+        forwarded to the stream reader."""
+        reader = spark.readStream.schema(PAGES_STREAM_SCHEMA).option(
+            "maxFilesPerTrigger", read_options.pop("maxFilesPerTrigger", 4)
         )
+        for k, v in read_options.items():
+            reader = reader.option(k, v)
+        stream = reader.parquet(source_dir)
         return (
             stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", self.checkpoint_dir)
@@ -226,13 +323,19 @@ class IncrementalDedup:
         )
 
     def hits(self, spark: SparkSession) -> DataFrame:
-        if not os.path.isdir(self.hits_dir) or not any(
-            f.startswith("epoch=") for f in os.listdir(self.hits_dir)
+        if not any(
+            f.startswith("epoch=") for f in list_child_names(self.hits_dir)
         ):
             return spark.createDataFrame([], HITS_SCHEMA)
         # partition-column inference types epoch=N directories as int32;
         # cast back to the declared HITS_SCHEMA type so the populated and
         # empty paths return identical schemas
-        return read_stage(spark, self.hits_dir).withColumn(
+        out = read_stage(spark, self.hits_dir).withColumn(
             "epoch", F.col("epoch").cast("long")
+        )
+        # sinks written before the mega-bucket cap existed lack via_star
+        if "via_star" not in out.columns:
+            out = out.withColumn("via_star", F.lit(False))
+        return out.select(
+            "new_doc", "existing_doc", "n_bands", "via_star", "epoch"
         )

@@ -147,6 +147,16 @@ class StatefulDedup:
     def pairs(self, spark) -> DataFrame:
         """Batch view over the collision sink: alpha-filtered candidate
         pairs (the cross-bucket half of candidate_pairs semantics)."""
+        from lsh_qd_spark.io import path_exists
+
+        if not path_exists(self.collisions_dir, spark):
+            # stream never started / zero batches committed: the sink dir
+            # was never created — mirror IncrementalDedup.hits()'s empty
+            # view instead of raising PATH_NOT_FOUND (the facade promises
+            # a mode-agnostic batch tail at any point in the stream's life)
+            return spark.createDataFrame(
+                [], "id_a long, id_b long, n_bands long, via_star boolean"
+            )
         col = spark.read.schema(COLLISION_SCHEMA).parquet(self.collisions_dir)
         # A pair legitimately appears at most once per band; under the
         # at-least-once sink contract (state commit lost → micro-batch
@@ -162,6 +172,11 @@ class StatefulDedup:
             .where(F.col("n_bands") >= self.config.alpha)
             .withColumn("via_star", F.lit(False))
         )
+        # counted feeds the union AND the star anti-join below; without
+        # materialization the whole collision scan → per-band dedup →
+        # aggregation chain executes twice (the measured double-execution
+        # hazard operators/pairs.py documents and fixes the same way)
+        counted = counted.localCheckpoint(eager=True)
         stars = (
             col.where(F.col("via_star"))
             .select("id_a", "id_b")

@@ -87,7 +87,12 @@ class IVFIndex:
 
     def append(self, vectors: DataFrame) -> None:
         """Insert without re-clustering (data-independent centroids)."""
-        from lsh_qd_spark.io import check_compat_meta, stage_exists, write_stage
+        from lsh_qd_spark.io import (
+            check_compat_meta,
+            stage_exists,
+            write_compat_meta,
+            write_stage,
+        )
 
         check_compat_meta(
             self.index_ref,
@@ -98,6 +103,11 @@ class IVFIndex:
             require_marker=stage_exists(vectors.sparkSession, self.index_ref),
         )
         write_stage(self._assigned(vectors), self.index_ref, "append", ["cell"])
+        # stamp append-born indexes (first write on a fresh ref skips the
+        # require_marker check above): without this, the next append —
+        # and any strict reader — treats the index as unmarked and demands
+        # a rebuild (same fix as LSHIndex.append)
+        write_compat_meta(self.index_ref, self._key_hash())
 
     def rows(self, spark: SparkSession) -> DataFrame:
         from lsh_qd_spark.io import check_compat_meta, read_stage

@@ -3,6 +3,8 @@ classification, and catalog detection (no Iceberg jars here → empty)."""
 
 import os
 
+import pytest
+
 from lsh_qd_spark.io import (
     is_path_ref,
     iceberg_catalogs,
@@ -154,3 +156,43 @@ def test_compat_meta_require_marker(tmp_path):
     # once stamped, the append path passes
     write_compat_meta(ref, "h1")
     check_compat_meta(ref, "h1", require_marker=True)
+
+
+def test_uri_path_helpers_via_hadoop_fs(spark, tmp_path):
+    """file:// URIs exercise the Hadoop FileSystem branch — the same code
+    path hdfs:// and s3a:// take in production, where driver-local os.path
+    calls would silently report 'absent' and disable every
+    existence-gated behavior."""
+    from lsh_qd_spark.io import (
+        check_compat_meta,
+        list_child_names,
+        path_exists,
+        write_compat_meta,
+    )
+
+    base = f"file://{tmp_path}/idx"
+    assert not path_exists(base, spark)
+    write_compat_meta(base, "h1", layout={"n_shards": 8})
+    assert path_exists(base, spark)
+    assert "_compat_meta.json" in list_child_names(base, spark)
+    check_compat_meta(base, "h1", layout={"n_shards": 8})  # compatible
+    with pytest.raises(RuntimeError, match="incompatible"):
+        check_compat_meta(base, "other-hash")
+    with pytest.raises(RuntimeError, match="n_shards"):
+        check_compat_meta(base, "h1", layout={"n_shards": 16})
+    assert list_child_names(f"file://{tmp_path}/nope", spark) == []
+
+
+def test_iceberg_catalogs_sees_runtime_conf(spark):
+    """Catalogs registered AFTER session creation via spark.conf.set are
+    valid (they resolve lazily) but never appear in the static SparkConf —
+    iceberg_catalogs must read the runtime conf."""
+    from lsh_qd_spark.io import iceberg_catalogs
+
+    key = "spark.sql.catalog.rtcat"
+    spark.conf.set(key, "org.apache.iceberg.spark.SparkCatalog")
+    try:
+        assert "rtcat" in iceberg_catalogs(spark)
+    finally:
+        spark.conf.unset(key)
+    assert "rtcat" not in iceberg_catalogs(spark)

@@ -93,3 +93,15 @@ def test_stateful_mega_bucket_stays_capped(spark, tmp_path):
     )
     # capped: ≤ C(10,2) exact + 30 star per band, NOT C(40,2)=780
     assert per_band <= 45 + 30
+
+
+def test_pairs_before_any_batch_is_empty(spark, tmp_path):
+    """pairs()/verified/clusters before the first committed micro-batch
+    (sink dir never created) must return the empty candidate-pair shape,
+    not raise PATH_NOT_FOUND — the facade's mode-agnostic contract."""
+    sd = StatefulDedup(
+        DedupConfig(rows_per_band=2, num_bands=8), str(tmp_path / "w")
+    )
+    out = sd.pairs(spark)
+    assert out.count() == 0
+    assert set(out.columns) == {"id_a", "id_b", "n_bands", "via_star"}

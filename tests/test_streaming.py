@@ -207,3 +207,58 @@ def test_shard_layout_mismatch_fails_loudly(spark, tmp_path):
     IncrementalDedup(cfg, work, n_shards=64).process_batch(b, 0)
     with pytest.raises(RuntimeError, match="n_shards"):
         IncrementalDedup(cfg, work, n_shards=128).process_batch(b, 1)
+
+
+def test_mega_bucket_emits_stars_not_quadratic(spark, tmp_path):
+    """Boilerplate cluster far over max_bucket_size: the per-epoch join
+    must emit O(n) star edges (rep preferred from the INDEXED side so the
+    component stays connected across epochs), never O(n²) pairs."""
+    from lsh_qd_spark.operators.cluster import connected_components
+    from lsh_qd_spark.streaming.facade import stream_dedup
+
+    work = str(tmp_path / "work")
+    n = 400
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate navigation chrome text " * 5)
+         for i in range(n)],
+        "doc_id long, text string",
+    )
+    sd = stream_dedup(
+        DedupConfig(rows_per_band=2, num_bands=8, alpha=1, max_bucket_size=50),
+        work,
+    )
+    sd._impl.process_batch(docs.where(F.col("doc_id") < 200), epoch_id=0)
+    sd._impl.process_batch(docs.where(F.col("doc_id") >= 200), epoch_id=1)
+    hits = sd._impl.hits(spark)
+    total = hits.count()
+    # full pairs would be C(400,2) = 79,800; stars are one edge per new doc
+    assert total < 3 * n, f"quadratic explosion: {total} hit rows"
+    assert hits.where(F.col("via_star")).count() > 0
+    # the star edges keep the WHOLE cluster connected across both epochs
+    pairs = sd.pairs(spark)
+    labels = connected_components(
+        pairs.select("id_a", "id_b"), driver_edge_threshold=0
+    )
+    comp = {r["cluster_id"] for r in labels.collect()}
+    assert comp == {0} and labels.count() == n
+
+
+def test_start_forwards_reader_options(spark, tmp_path):
+    """Extra read options must reach the stream reader: a pathGlobFilter
+    that matches nothing processes zero files (silently dropped options
+    used to read everything)."""
+    src = str(tmp_path / "src")
+    pages = generate_pages(spark, SynthConfig(n_docs=60, seed=5))
+    pages.coalesce(1).write.parquet(src + "/f1")
+    inc = IncrementalDedup(
+        DedupConfig(rows_per_band=2, num_bands=8), str(tmp_path / "w1")
+    )
+    q = inc.start(spark, src + "/*", pathGlobFilter="*.nomatch")
+    q.awaitTermination(120)
+    assert not inc._index_exists(), "filtered-out files were processed"
+    inc2 = IncrementalDedup(
+        DedupConfig(rows_per_band=2, num_bands=8), str(tmp_path / "w2")
+    )
+    q2 = inc2.start(spark, src + "/*")
+    q2.awaitTermination(120)
+    assert inc2._index_exists()

@@ -70,3 +70,22 @@ def test_partition_pruning_to_probed_cells(spark, tmp_path):
     assert m and "cell" in m.group(1), plan
     # and the filter is a finite IN list, not a catch-all
     assert "cell#" in m.group(1) and ("IN" in m.group(1) or "in(" in m.group(1)), m.group(1)
+
+
+def test_append_born_ivf_index_is_marked_and_appendable(spark, tmp_path):
+    """append() on a fresh ref must stamp the compat marker (the first
+    write skips require_marker since no data exists yet) — otherwise the
+    SECOND append finds data with no marker and demands a rebuild."""
+    import json
+    import os
+
+    emb = _emb(spark)
+    ref = str(tmp_path / "born_by_append")
+    idx = IVFIndex(ref, **PARAMS)
+    idx.append(emb.where(F.col("vec_id") < 20))
+    marker = os.path.join(ref, "_compat_meta.json")
+    assert os.path.exists(marker), "append-born index carries no marker"
+    with open(marker) as f:
+        assert json.load(f)["config_hash"] == idx._key_hash()
+    idx.append(emb.where((F.col("vec_id") >= 20) & (F.col("vec_id") < 40)))
+    assert idx.rows(spark).count() == 40
