@@ -291,10 +291,53 @@ def run_batch(spark, args) -> dict:
         # written there (the 100 TB-correct shape: stable storage, resumes
         # free); without one, spill-to-disk cache.
         if args.checkpoint_dir:
-            from lsh_qd_spark.io import read_stage, write_stage
+            # manifest-guarded like the pipeline stages: a RESUMED run
+            # (same input + prep flags) must reuse the prepped table, not
+            # replay hours of full-corpus prep shuffles and overwrite it
+            # before the pipeline's own resume logic can skip anything
+            import hashlib
+            import json as _json
 
+            from lsh_qd_spark.io import (
+                check_compat_meta,
+                read_stage,
+                stage_exists,
+                write_compat_meta,
+                write_stage,
+            )
+
+            prep_hash = hashlib.sha256(
+                _json.dumps(
+                    {
+                        "input": args.input,
+                        "extract_html": args.extract_html,
+                        "latest_per_url": args.latest_per_url,
+                        "clean_boilerplate": args.clean_boilerplate,
+                        "redact_pii": args.redact_pii,
+                        "drop_repetitive": args.drop_repetitive,
+                        "decontam_eval": args.decontam_eval,
+                        "text_col": args.text_col,
+                        "id_col": args.id_col,
+                    },
+                    sort_keys=True,
+                ).encode()
+            ).hexdigest()[:16]
             ref = _out_ref(args.checkpoint_dir, "prepped_pages")
-            write_stage(pages, ref, "overwrite")
+            reusable = False
+            if stage_exists(spark, ref):
+                try:
+                    check_compat_meta(
+                        ref,
+                        prep_hash,
+                        what="prepped corpus",
+                        require_marker=True,
+                    )
+                    reusable = True
+                except RuntimeError:
+                    reusable = False  # different flags/input — rebuild
+            if not reusable:
+                write_stage(pages, ref, "overwrite")
+                write_compat_meta(ref, prep_hash)
             pages = read_stage(spark, ref)
         else:
             pages = pages.persist()
@@ -333,6 +376,13 @@ def run_streaming(spark, args) -> dict:
         raise SystemExit("--drop-repetitive is batch-mode only")
     if args.decontam_eval:
         raise SystemExit("--decontam-eval is batch-mode only")
+    if args.include_singletons:
+        # silently dropping it would ship a "collapsed corpus" missing
+        # every singleton the user explicitly asked to keep
+        raise SystemExit(
+            "--include-singletons is batch-mode only: the streaming tail "
+            "clusters only documents that appear in duplicate pairs"
+        )
     if args.text_col != "text" or args.id_col != "doc_id":
         # the stream reads the fixed PAGES_STREAM_SCHEMA (doc_id/text);
         # a renamed column would by-name-resolve to NULLs and the run

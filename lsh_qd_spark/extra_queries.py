@@ -59,8 +59,11 @@ SIMHASH_MAX_HAMMING = N_CHUNKS - 1
 PSTABLE_R = 4.0
 PSTABLE_NUM_HASHES = 8
 SUFFIX_MIN_OVERLAP = 40
-ANN_N_QUERIES = 10
-ANN_TOP_K = 5
+# shared with the brute-force twin ann_cosine_topk: re-declaring these
+# would let a retune of the oracle's query set silently desynchronize the
+# approximate-vs-exact comparison
+from lsh_qd_spark.oracle import ANN_N_QUERIES, ANN_TOP_K  # noqa: E402
+
 ANN_N_TABLES = 12
 ANN_BITS_PER_TABLE = 8
 EMB_DIMS = 64

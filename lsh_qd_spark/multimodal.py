@@ -61,6 +61,12 @@ def _pnm_header(payload: bytes, magic: bytes, fmt: str) -> tuple[int, int, int]:
     while len(tokens) < 3 and i < len(payload):
         c = payload[i : i + 1]
         if c == b"#":
+            # a comment is whitespace-equivalent and may START mid-token
+            # ('100#c\n200'): flush the current token first, or width and
+            # height merge into one number
+            if cur:
+                tokens.append(cur)
+                cur = b""
             while i < len(payload) and payload[i : i + 1] != b"\n":
                 i += 1
         elif c.isspace():
@@ -334,6 +340,19 @@ def deterministic_fake_decoder(dim: int = 64) -> Callable[[bytes], np.ndarray]:
     return decode
 
 
+def _decode_chunk(
+    pdf: pd.DataFrame, decode_fn: Callable[[bytes], np.ndarray]
+) -> pd.DataFrame:
+    feats = [decode_fn(p) for p in pdf["payload"]]
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"].to_numpy(),
+            "feature": [f.tolist() for f in feats],
+            "feat_dim": [len(f) for f in feats],
+        }
+    )
+
+
 def extract_features(
     media: DataFrame,
     decode_fn: Callable[[bytes], np.ndarray] | None = None,
@@ -344,20 +363,26 @@ def extract_features(
     ``mapInPandas`` so each Arrow batch holds full binary payloads exactly
     once; heavy rows are bounded by repartitioning upstream (payload column
     never passes through a shuffle here — narrow map over the scan).
+    ``batch_limit_bytes`` bounds how many payload bytes are DECODED per
+    chunk: an Arrow batch of large media rows is split so decoded feature
+    lists never hold more than the cap's worth of source payloads at once.
     """
     if decode_fn is None:
         require_decoder("media")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_fn(p) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "feature": [f.tolist() for f in feats],
-                    "feat_dim": [len(f) for f in feats],
-                }
-            )
+            start = 0
+            acc = 0
+            for i, p in enumerate(pdf["payload"]):
+                acc += len(p) if p is not None else 0
+                # flush BEFORE exceeding the cap (each chunk keeps >=1 row
+                # so a single over-cap payload still decodes)
+                if acc > batch_limit_bytes and i > start:
+                    yield _decode_chunk(pdf.iloc[start:i], decode_fn)
+                    start, acc = i, len(p) if p is not None else 0
+            if start < len(pdf):
+                yield _decode_chunk(pdf.iloc[start:], decode_fn)
 
     return media.select("media_id", "payload").mapInPandas(
         run, schema=FEATURE_SCHEMA

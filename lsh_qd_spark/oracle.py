@@ -57,18 +57,30 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB SQL fragments mirroring functions/text.py exactly
 # ---------------------------------------------------------------------------
 
-DUCK_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# explicit whitespace class, NOT \s: Java's \s (Spark normalize_text) is
+# [ \t\n\x0B\f\r] but RE2's \s (DuckDB) omits vertical tab \x0B — a \x0B in
+# any document would silently desynchronize every token/shingle-derived twin
+DUCK_NORM = (
+    "trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
+)
 DUCK_TOKS = (
     f"list_filter(string_split({DUCK_NORM}, ' '), x -> x <> '')"
 )
 
 
 def duck_poly(expr: str) -> str:
-    """Polynomial char hash — twin of functions/text.py:poly_hash."""
+    """Polynomial char hash — twin of functions/text.py:poly_hash.
+
+    Degenerate-input parity with the Spark side: an EMPTY string folds one
+    zero step (Spark: split('','') -> [''], ascii('') = 0) where DuckDB's
+    unicode('') is -1 — mapped to 0 here; a NULL input stays NULL (DuckDB's
+    list_prepend(0, NULL) would otherwise fold to 0)."""
     return (
+        f"CASE WHEN ({expr}) IS NULL THEN NULL ELSE "
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(string_split({expr}, ''), c -> unicode(c))), "
-        f"(acc, x) -> (acc*31 + x) % {HASH_M})"
+        f"list_transform(string_split({expr}, ''), "
+        "c -> CASE WHEN c = '' THEN 0 ELSE unicode(c) END)), "
+        f"(acc, x) -> (acc*31 + x) % {HASH_M}) END"
     )
 
 
@@ -458,11 +470,12 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.clusters(ver).select("doc_id", "cluster_id")
 
 
-SQL_DUP_CLUSTERS = f"""
-WITH RECURSIVE {duck_bands_cte(ORACLE_CFG)},
-{DUCK_PAIRS_CTE},
-{duck_verified_cte(ORACLE_CFG.jaccard_threshold)},
-sym AS (
+# ONE connected-components CTE chain shared by every cluster-family twin
+# (dup_clusters, cluster_sizes, dedup_survivors, cluster_stats): a fix to
+# the labeling applied to only some copies would make the four twins
+# disagree with each other — the same single-source rule as
+# duck_verified_cte.
+DUCK_CLUSTERS_CTE = """sym AS (
   SELECT id_a AS src, id_b AS dst FROM verified
   UNION SELECT id_b, id_a FROM verified
 ),
@@ -470,9 +483,18 @@ reach(src, dst) AS (
   SELECT src, dst FROM sym
   UNION
   SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-)
-SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-FROM reach GROUP BY src
+),
+clusters AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src
+)"""
+
+
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE {duck_bands_cte(ORACLE_CFG)},
+{DUCK_PAIRS_CTE},
+{duck_verified_cte(ORACLE_CFG.jaccard_threshold)},
+{DUCK_CLUSTERS_CTE}
+SELECT doc_id, cluster_id FROM clusters
 """
 
 
@@ -492,18 +514,7 @@ SQL_CLUSTER_SIZES = f"""
 WITH RECURSIVE {duck_bands_cte(ORACLE_CFG)},
 {DUCK_PAIRS_CTE},
 {duck_verified_cte(ORACLE_CFG.jaccard_threshold)},
-sym AS (
-  SELECT id_a AS src, id_b AS dst FROM verified
-  UNION SELECT id_b, id_a FROM verified
-),
-reach(src, dst) AS (
-  SELECT src, dst FROM sym
-  UNION
-  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-),
-clusters AS (
-  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src
-)
+{DUCK_CLUSTERS_CTE}
 SELECT n_docs, COUNT(*) AS n_clusters FROM (
   SELECT cluster_id, COUNT(*) AS n_docs FROM clusters GROUP BY 1
 ) GROUP BY 1
@@ -545,18 +556,7 @@ SQL_DEDUP_SURVIVORS = f"""
 WITH RECURSIVE {duck_bands_cte(ORACLE_CFG)},
 {DUCK_PAIRS_CTE},
 {duck_verified_cte(ORACLE_CFG.jaccard_threshold)},
-sym AS (
-  SELECT id_a AS src, id_b AS dst FROM verified
-  UNION SELECT id_b, id_a FROM verified
-),
-reach(src, dst) AS (
-  SELECT src, dst FROM sym
-  UNION
-  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-),
-clusters AS (
-  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src
-),
+{DUCK_CLUSTERS_CTE},
 eff AS (
   SELECT d.doc_id, d.n_chars, COALESCE(c.cluster_id, d.doc_id) AS cid
   FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
@@ -619,18 +619,7 @@ SQL_CLUSTER_STATS = f"""
 WITH RECURSIVE {duck_bands_cte(ORACLE_CFG)},
 {DUCK_PAIRS_CTE},
 {duck_verified_cte(ORACLE_CFG.jaccard_threshold)},
-sym AS (
-  SELECT id_a AS src, id_b AS dst FROM verified
-  UNION SELECT id_b, id_a FROM verified
-),
-reach(src, dst) AS (
-  SELECT src, dst FROM sym
-  UNION
-  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-),
-clusters AS (
-  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src
-),
+{DUCK_CLUSTERS_CTE},
 sizes AS (
   SELECT cluster_id, COUNT(*) AS n_docs FROM clusters GROUP BY 1
 ),
@@ -762,11 +751,14 @@ def _sql_langid() -> str:
         for lg, ws in LANG_MARKERS.items()
     )
     all_c = ",".join(f"c_{lg}" for lg in LANG_MARKERS)
+    # EVERY language gets a WHEN arm (no ELSE): for a NULL-text row all
+    # counts are NULL, every comparison is NULL, and the CASE's implicit
+    # NULL matches the Spark side's chained when() with no otherwise — an
+    # ELSE '<last-language>' would stamp NULL text with a language
     cases = "\n       ".join(
         f"WHEN c_{lg} = greatest({all_c}) THEN '{lg}'"
-        for lg in list(LANG_MARKERS)[:-1]
+        for lg in LANG_MARKERS
     )
-    last = list(LANG_MARKERS)[-1]
     return f"""
 WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
 scored AS (
@@ -777,7 +769,7 @@ scored AS (
 SELECT doc_id,
   CASE WHEN greatest({all_c}) = 0 THEN 'und'
        {cases}
-       ELSE '{last}' END AS lang_guess
+       END AS lang_guess
 FROM scored
 """
 

@@ -63,22 +63,25 @@ class StageStore:
         self.spark = spark
         self.root = root
         self.config_hash = config_hash
-        os.makedirs(root, exist_ok=True)
+        if "://" not in root:
+            os.makedirs(root, exist_ok=True)
 
     def _paths(self, stage: str) -> tuple[str, str]:
-        return (
-            os.path.join(self.root, stage),
-            os.path.join(self.root, f"{stage}.manifest.json"),
-        )
+        # plain string join, not os.path: the root may be a scheme-
+        # qualified URI (hdfs://, s3a://) — manifest IO below goes through
+        # the URI-safe io helpers for the same reason (driver-local
+        # os.path on a remote root would silently lose resume: manifests
+        # written to a junk local './hdfs:/...' dir, never found again)
+        base = self.root.rstrip("/")
+        return (f"{base}/{stage}", f"{base}/{stage}.manifest.json")
 
     def load(self, stage: str) -> DataFrame | None:
-        from lsh_qd_spark.io import read_stage
+        from lsh_qd_spark.io import _read_text, path_exists, read_stage
 
         data_path, manifest_path = self._paths(stage)
-        if not os.path.exists(manifest_path):
+        if not path_exists(manifest_path, self.spark):
             return None
-        with open(manifest_path) as f:
-            manifest = json.load(f)
+        manifest = json.loads(_read_text(manifest_path, self.spark))
         if manifest.get("config_hash") != self.config_hash:
             return None
         return read_stage(self.spark, data_path)
@@ -105,8 +108,11 @@ class StageStore:
             partitions=len(part_rows),
             partition_rows=part_rows,
         )
-        with open(manifest_path, "w") as f:
-            json.dump(
+        from lsh_qd_spark.io import _write_text
+
+        _write_text(
+            manifest_path,
+            json.dumps(
                 {
                     "stage": stage,
                     "config_hash": self.config_hash,
@@ -115,9 +121,10 @@ class StageStore:
                     "partitions": metrics.partitions,
                     "partition_rows": metrics.partition_rows,
                 },
-                f,
                 indent=2,
-            )
+            ),
+            self.spark,
+        )
         return out, metrics
 
 

@@ -328,3 +328,64 @@ def test_cli_prepped_corpus_materializes_once(spark, tmp_path, capsys):
     # survivors joined against the PREPPED (redacted) corpus
     surv = spark.read.parquet(f"{out}/survivors")
     assert surv.count() > 0
+
+
+def test_cli_streaming_rejects_include_singletons(tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit, match="include-singletons"):
+        main(
+            [
+                "--input", str(tmp_path / "src"),
+                "--output", str(tmp_path / "out"),
+                "--mode", "incremental",
+                "--include-singletons",
+                "--checkpoint-dir", str(tmp_path / "w"),
+            ]
+        )
+
+
+def test_cli_prep_resume_reuses_prepped_table(spark, tmp_path, capsys):
+    """A rerun with the same input + prep flags must NOT replay the prep
+    shuffles: the prepped table is manifest-guarded (compat marker) like
+    the pipeline stages; changing a prep flag rebuilds it."""
+    import json as _json
+
+    scfg = SynthConfig(n_docs=200, seed=61)
+    src = str(tmp_path / "pages")
+    generate_pages(spark, scfg).write.parquet(src)
+    args = [
+        "--input", src,
+        "--output", str(tmp_path / "out"),
+        "--num-bands", "16",
+        "--rows-per-band", "2",
+        "--jaccard-threshold", "0.55",
+        "--max-bucket-size", "50",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--latest-per-url",
+    ]
+    main(args)
+    capsys.readouterr()
+    prepped = tmp_path / "ckpt" / "prepped_pages"
+    marker = prepped / "_compat_meta.json"
+    assert marker.exists()
+    with open(marker) as f:
+        first_hash = _json.load(f)["config_hash"]
+    files_before = sorted(
+        (p.name, p.stat().st_mtime_ns) for p in prepped.glob("*.parquet")
+    )
+    main(args)  # resume: identical input + flags
+    capsys.readouterr()
+    files_after = sorted(
+        (p.name, p.stat().st_mtime_ns) for p in prepped.glob("*.parquet")
+    )
+    assert files_after == files_before, "prep re-ran on a clean resume"
+    # a changed prep flag invalidates the marker and rebuilds
+    main(args + ["--redact-pii"])
+    capsys.readouterr()
+    with open(marker) as f:
+        assert _json.load(f)["config_hash"] != first_hash
+    files_rebuilt = sorted(
+        (p.name, p.stat().st_mtime_ns) for p in prepped.glob("*.parquet")
+    )
+    assert files_rebuilt != files_before

@@ -263,3 +263,37 @@ def test_codec_stub_raises_loudly():
         pytest.skip("Pillow present — stub path not reachable")
     with pytest.raises(NotImplementedError, match="codec"):
         pil_feature_decoder()
+
+
+def test_pnm_comment_mid_token():
+    """A '#' comment may START directly after a header token ('100#c') —
+    the tokenizer must flush the pending token, not merge across the
+    comment ('100' + '200' -> '100200')."""
+    from lsh_qd_spark.multimodal import decode_ppm
+
+    raster = bytes(range(6)) * 100  # 2x100 RGB = 600 bytes
+    img = decode_ppm(b"P6\n2#width comment\n 100 255\n" + raster)
+    assert img.shape == (100, 2, 3)
+
+
+def test_extract_features_batch_limit_chunks_identically(spark):
+    """batch_limit_bytes bounds decoded payloads per chunk; a 1-byte cap
+    (every row its own chunk) must produce byte-identical features to the
+    uncapped path."""
+    from lsh_qd_spark.multimodal import (
+        deterministic_fake_decoder,
+        extract_features,
+    )
+
+    rows = [(i, bytes([i]) * 1000) for i in range(50)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    dec = deterministic_fake_decoder(16)
+    base = {
+        r["media_id"]: tuple(r["feature"])
+        for r in extract_features(media, dec).collect()
+    }
+    capped = {
+        r["media_id"]: tuple(r["feature"])
+        for r in extract_features(media, dec, batch_limit_bytes=1).collect()
+    }
+    assert capped == base and len(base) == 50

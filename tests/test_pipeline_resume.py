@@ -132,3 +132,19 @@ def test_run_releases_previous_persists(spark, docs):
     out2["clusters"].count()
     pipe.release()
     assert not pipe._persisted
+
+
+def test_checkpoint_resume_over_uri_root(spark, docs, tmp_path):
+    """A scheme-qualified checkpoint root (file:// here; hdfs:///s3a:// in
+    production) must resume: manifests go through the URI-safe io helpers,
+    not driver-local os.path (which would write them to a junk local
+    './hdfs:/...' dir and silently re-run every stage on rerun)."""
+    root = f"file://{tmp_path}/ckpt"
+    pipe = DedupPipeline(DedupConfig(**CFG), checkpoint_dir=root)
+    out1 = pipe.run(docs)
+    n1 = out1["clusters"].count()
+    assert sorted(pipe.metrics) == sorted(STAGES)  # all stages computed
+    pipe2 = DedupPipeline(DedupConfig(**CFG), checkpoint_dir=root)
+    out2 = pipe2.run(docs)
+    assert pipe2.metrics == {}, "URI-root manifests were not found on rerun"
+    assert out2["clusters"].count() == n1
