@@ -17,7 +17,11 @@ from dataclasses import asdict, dataclass, field
 # sig_j = (a_j * h' + b_j) mod MERSENNE_P. Bounds chosen so every product
 # fits in int64 without 128-bit arithmetic: a_j, h' < 2^31 → a*h' < 2^62.
 MERSENNE_P = (1 << 61) - 1  # 2305843009213693951, prime
-HASH_M = 2147483629  # largest prime < 2^31
+# A prime < 2^31 (NOT the largest — 2^31-1 is also prime). The exact
+# value is PINNED: it is baked into every persisted signature and into
+# the DuckDB oracle twins' literal SQL — "correcting" it would silently
+# invalidate both.
+HASH_M = 2147483629
 
 # Reference family constants (/root/reference/lsh-qd.py:30-33), used only by
 # the parity kernel where inputs are small feature indices.

@@ -404,11 +404,11 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).select("doc_id")
     page = F.col("doc_id") % 100
-    # variant residue must be INDEPENDENT of the page-group key: 5 divides
-    # 100, so doc_id % 5 is constant within a page group and every group
-    # would hold one spelling — the cross-spelling collapse the component
-    # exists for would go untested
-    v = F.floor(F.col("doc_id") / 100) % 5
+    # variant residue must be INDEPENDENT of the page-group key: the
+    # modulus divides 100, so doc_id % 6 would be constant within a page
+    # group and every group would hold one spelling — the cross-spelling
+    # collapse the component exists for would go untested
+    v = F.floor(F.col("doc_id") / 100) % 6
     url = (
         F.when(v == 0, F.concat(F.lit("https://example.com/p/"), page))
         .when(v == 1, F.concat(F.lit("https://www.example.com/p/"), page,
@@ -416,8 +416,13 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(v == 2, F.concat(F.lit("HTTPS://EXAMPLE.COM:443/p/"), page))
         .when(v == 3, F.concat(F.lit("https://example.com/p/"), page,
                                F.lit("/?utm_source=feed")))
-        .otherwise(F.concat(F.lit("https://example.com/p/"), page,
-                            F.lit("?utm_campaign=x&gclid=1")))
+        .when(v == 4, F.concat(F.lit("https://example.com/p/"), page,
+                               F.lit("?utm_campaign=x&gclid=1")))
+        # userinfo spelling: credentials must be stripped from the
+        # canonical key, and www./port stripping must still fire behind
+        # the 'user@'
+        .otherwise(F.concat(F.lit("https://bob@www.example.com:443/p/"),
+                            page))
     )
     pages = d.select("doc_id", url.alias("url"), F.col("doc_id").alias("ts"))
     return latest_snapshot(pages, ts_col="ts").select(
@@ -428,12 +433,13 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_URL_DEDUP = r"""
 WITH urls AS (
   SELECT doc_id,
-    CASE CAST((doc_id // 100) % 5 AS INT)
+    CASE CAST((doc_id // 100) % 6 AS INT)
       WHEN 0 THEN 'https://example.com/p/' || (doc_id % 100)
       WHEN 1 THEN 'https://www.example.com/p/' || (doc_id % 100) || '#frag'
       WHEN 2 THEN 'HTTPS://EXAMPLE.COM:443/p/' || (doc_id % 100)
       WHEN 3 THEN 'https://example.com/p/' || (doc_id % 100) || '/?utm_source=feed'
-      ELSE 'https://example.com/p/' || (doc_id % 100) || '?utm_campaign=x&gclid=1'
+      WHEN 4 THEN 'https://example.com/p/' || (doc_id % 100) || '?utm_campaign=x&gclid=1'
+      ELSE 'https://bob@www.example.com:443/p/' || (doc_id % 100)
     END AS url
   FROM documents
 ), parts AS (
@@ -445,10 +451,12 @@ WITH urls AS (
   FROM urls
 ), comps AS (
   SELECT doc_id, scheme,
-    -- FQDN trailing-dot strip split in two (RE2 has no lookahead):
-    -- dots before the port colon, then dots at end of host
+    -- userinfo strip first (greedy to last '@' — raw '@' cannot occur in
+    -- a host), then FQDN trailing-dot strip split in two (RE2 has no
+    -- lookahead): dots before the port colon, then dots at end of host
     regexp_replace(regexp_replace(
-      regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),
+      regexp_replace(regexp_replace(
+        lower(regexp_extract(rest, '^([^/?]*)', 1)), '^.*@', ''),
                      '^www\.', ''),
       '\.+:', ':'), '\.+$', '') AS host0,
     regexp_replace(rest, '^[^/?]*', '') AS pathq

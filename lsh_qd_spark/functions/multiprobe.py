@@ -78,8 +78,13 @@ def probe_keys_for_query(
     base = np.floor(f).astype(np.int64)
     frac = f - base
     scores = np.empty(2 * k, dtype=np.float64)
-    scores[0::2] = 1.0 - frac  # +1 direction
-    scores[1::2] = frac  # -1 direction
+    # SQUARED boundary distances (Lv et al. §4.4 score(A) = sum x_i(δ)²;
+    # the reference squares too, lsh.py:300-302): a linear sum would rank
+    # e.g. single {0.55} ahead of pair {0.2, 0.45} (0.55 < 0.65) where the
+    # paper's expected-distance ranking puts the pair first
+    # (0.2425 < 0.3025) — wrong probe order, lower per-probe recall
+    scores[0::2] = (1.0 - frac) ** 2  # +1 direction
+    scores[1::2] = frac**2  # -1 direction
     keys = [base]
     # generate extra sets (coordinate-validity filtered below)
     for s in perturbation_sets(scores, max_sets=4 * n_probes + 8):
@@ -115,6 +120,12 @@ def make_multiprobe_udf(
     def multiprobe(emb: pd.Series) -> pd.Series:
         rows = []
         for v in emb:
+            if v is None or len(v) == 0:
+                # null/empty embedding: zero probe rows (the banding
+                # null-guard convention), not a worker-killing np.stack
+                # shape error
+                rows.append([])
+                continue
             x = np.asarray(v, dtype=np.float64)
             f = (a @ x + b) / r  # (l*k,) band-major raw hashes
             out = []

@@ -34,12 +34,22 @@ def make_pstable_udf(a: np.ndarray, b: np.ndarray, r: float):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def pstable(emb: pd.Series) -> pd.Series:
-        rows = []
-        mats = [np.asarray(x, dtype=np.float64) for x in emb]
-        if mats:
-            x = np.stack(mats)  # embeddings are fixed-dim
+        # NULL/empty embeddings hash to NULL (the signature null-guard
+        # convention — band_buckets drops them); np.stack on a mixed batch
+        # would otherwise kill the whole task with a shape error
+        ok = [
+            i
+            for i, x in enumerate(emb)
+            if x is not None and len(x) > 0
+        ]
+        rows: list = [None] * len(emb)
+        if ok:
+            x = np.stack(
+                [np.asarray(emb.iloc[i], dtype=np.float64) for i in ok]
+            )  # embeddings are fixed-dim
             buckets = np.floor((x @ a.T + b[None, :]) / r).astype(np.int64)
-            rows = [row.tolist() for row in buckets]
+            for j, i in enumerate(ok):
+                rows[i] = buckets[j].tolist()
         return pd.Series(rows)
 
     return pstable

@@ -42,13 +42,21 @@ def extract_text(html: Column) -> Column:
     # Truncated captures without a closing </body> (routine in crawl WARCs)
     # must not drop the document: fall back to everything after <body>,
     # then to the whole markup (minus <head>) when no <body> exists at all.
-    body = F.when(
-        s.rlike(r"(?is)<body[^>]*>.*</body>"),
-        F.regexp_extract(s, r"(?is)<body[^>]*>(.*)</body>", 1),
-    ).when(
-        s.rlike(r"(?is)<body[^>]*>"),
-        F.regexp_extract(s, r"(?is)<body[^>]*>(.*)$", 1),
-    ).otherwise(F.regexp_replace(s, r"(?is)<head[^>]*>.*?</head>", ""))
+    #
+    # Evaluation-order note: the common case (well-formed closed body) must
+    # pay for the expensive dot-all scan ONCE. regexp_extract returns ''
+    # for both "no match" and "matched an empty body", so the extract
+    # result is the FIRST branch and the disambiguating rlike (a second
+    # full scan) runs only for the rare empty-'' results.
+    closed = F.regexp_extract(s, r"(?is)<body[^>]*>(.*)</body>", 1)
+    open_tail = F.regexp_extract(s, r"(?is)<body[^>]*>(.*)$", 1)
+    body = (
+        F.when(closed != "", closed)
+        .when(s.rlike(r"(?is)<body[^>]*>.*</body>"), F.lit(""))
+        .when(open_tail != "", open_tail)
+        .when(s.rlike(r"(?i)<body[^>]*>"), F.lit(""))
+        .otherwise(F.regexp_replace(s, r"(?is)<head[^>]*>.*?</head>", ""))
+    )
     body = F.regexp_replace(body, r"(?is)<(script|style)[^>]*>.*?</\1>", "")
     txt = F.regexp_replace(body, r"(?s)<[^>]+>", "")
     for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),

@@ -40,6 +40,11 @@ def min_max_normalize(
         F.min(F.array_min(F.col(col))).alias("lo"),
         F.max(F.array_max(F.col(col))).alias("hi"),
     ).first()
+    if stats["lo"] is None or stats["hi"] is None:
+        # empty DataFrame or all-NULL column: nothing to scale — return
+        # the input unchanged (a bare float(None) TypeError explains
+        # nothing)
+        return df.withColumn(out_col, F.col(col))
     lo, hi = float(stats["lo"]), float(stats["hi"])
     span = (hi - lo) or 1.0
     return df.withColumn(

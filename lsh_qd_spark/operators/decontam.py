@@ -33,14 +33,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lsh_qd_spark.functions.text import shingle_strings
+from lsh_qd_spark.functions.text import tokens
+
+
+def _strict_gram_strings(col, k: int):
+    """Distinct k-grams, STRICT: documents with fewer than ``k`` tokens
+    emit NO grams — the published rule's semantics. shingle_strings'
+    sub-k whole-document fallback (right for dedup recall) would quietly
+    change the contamination rule: a 10-token eval item could then only
+    ever match a whole-document-identical train doc (its full-text gram
+    never equals any 13-gram), and a sub-k train doc would get flagged on
+    far less than k tokens of evidence."""
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
 
 
 def _grams(
     docs: DataFrame, k: int, hash_family: str, text_col: str, id_col: str
 ) -> DataFrame:
-    """(doc_id, gram) exploded distinct k-grams; hashed unless 'string'."""
-    g = F.explode(shingle_strings(F.col(text_col), k)).alias("gram")
+    """(doc_id, gram) exploded distinct strict k-grams; hashed unless
+    'string'."""
+    g = F.explode(_strict_gram_strings(F.col(text_col), k)).alias("gram")
     out = docs.select(F.col(id_col).alias("doc_id"), g)
     if hash_family == "string":
         return out

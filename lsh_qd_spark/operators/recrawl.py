@@ -55,6 +55,11 @@ def canonical_url(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
     hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    # strip userinfo ('user[:pass]@'): it names the visit, not the
+    # resource — left in place it defeats the www./default-port stripping
+    # below AND propagates credentials into the canonical key. Greedy to
+    # the LAST '@' (a raw '@' cannot occur in the host per RFC 3986).
+    hostport = F.regexp_replace(hostport, r"^.*@", "")
     host = F.regexp_replace(hostport, r"^www\.", "")
     # DNS-rooted FQDN spelling: 'example.com.' names the same host
     host = F.regexp_replace(host, r"\.+(?=$|:)", "")

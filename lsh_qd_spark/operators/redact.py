@@ -57,16 +57,28 @@ def redact_pii(text: Column) -> Column:
     return out
 
 
-def pii_counts(text: Column) -> list[Column]:
-    """One count column per rule, matching the redaction's sequential
-    semantics: rule *i* counts on the text already redacted by rules
-    ``< i``. Returns unaliased columns in PII_RULES order."""
+def pii_scrub(text: Column) -> tuple[list[Column], Column]:
+    """(counts, redacted) in ONE pass of the rule chain: rule *i* counts on
+    the text already redacted by rules ``< i``, and the chain's final
+    string IS the redacted output — computing counts and redaction
+    separately would run every regexp twice per row on the scan-speed hot
+    path. Counts are 0 (not NULL) for NULL text — the audit contract is
+    "how many matches were redacted", and arithmetic/filters on NULL
+    counts silently mis-handle rows; the redacted text itself stays NULL."""
     cur = text
     counts = []
     for _, pat, repl in PII_RULES:
-        counts.append(F.regexp_count(cur, F.lit(pat)))
+        counts.append(
+            F.coalesce(F.regexp_count(cur, F.lit(pat)), F.lit(0))
+        )
         cur = F.regexp_replace(cur, pat, repl)
-    return counts
+    return counts, cur
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One count column per rule (see ``pii_scrub``); prefer ``pii_scrub``
+    when the redacted text is also needed."""
+    return pii_scrub(text)[0]
 
 
 def redact_docs(
@@ -87,10 +99,9 @@ def redact_docs(
         F.col(c) for c in docs.columns
         if c != text_col and c not in audit_cols
     ]
+    raw_counts, redacted = pii_scrub(t)
     counts = [
         c.cast("long").alias(f"n_{name}")
-        for c, (name, _, _) in zip(pii_counts(t), PII_RULES)
+        for c, (name, _, _) in zip(raw_counts, PII_RULES)
     ]
-    return docs.select(
-        *cols, *counts, redact_pii(t).alias(text_col)
-    )
+    return docs.select(*cols, *counts, redacted.alias(text_col))

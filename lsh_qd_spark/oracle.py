@@ -1018,21 +1018,15 @@ _PII_AUG_SQL = (
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_email, n_ipv4, n_phone, redacted): the PII scrub over
     the (deterministically augmented) documents table."""
-    from lsh_qd_spark.operators.redact import (
-        PII_RULES,
-        pii_counts,
-        redact_pii,
-    )
+    from lsh_qd_spark.operators.redact import PII_RULES, pii_scrub
 
     docs = _docs(spark, sf_dir)
-    aug = _pii_augmented_spark()
+    raw_counts, redacted = pii_scrub(_pii_augmented_spark())
     counts = [
         c.cast("long").alias(f"n_{name}")
-        for c, (name, _, _) in zip(pii_counts(aug), PII_RULES)
+        for c, (name, _, _) in zip(raw_counts, PII_RULES)
     ]
-    return docs.select(
-        "doc_id", *counts, redact_pii(aug).alias("redacted")
-    )
+    return docs.select("doc_id", *counts, redacted.alias("redacted"))
 
 
 def _sql_pii_redaction() -> str:
@@ -1050,8 +1044,9 @@ def _sql_pii_redaction() -> str:
             f"'{repl}', 'g') AS t{i + 1} FROM r{i})"
         )
         counts.append(
-            f"CAST(len(regexp_extract_all(t{i}, '{pat}')) AS BIGINT)"
-            f" AS n_{name}"
+            # COALESCE mirrors pii_scrub: NULL text audits as 0 matches
+            f"CAST(COALESCE(len(regexp_extract_all(t{i}, '{pat}')), 0) "
+            f"AS BIGINT) AS n_{name}"
         )
     n = len(PII_RULES)
     return (
@@ -1090,12 +1085,14 @@ def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DECONTAM_OVERLAP = f"""
 WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
 grams AS (
+  -- STRICT k-grams (no sub-k whole-doc fallback), mirroring
+  -- operators/decontam._strict_gram_strings: docs shorter than k tokens
+  -- emit no grams under the published rule
   SELECT doc_id,
     CASE WHEN len(t) >= {DECONTAM_K} THEN
       list_transform(range(1, len(t) - {DECONTAM_K - 2}),
                      i -> array_to_string(
                             list_slice(t, i, i + {DECONTAM_K - 1}), ' '))
-    WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
     ELSE [] END AS g
   FROM toks
 ),

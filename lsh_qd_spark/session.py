@@ -9,6 +9,19 @@ from pyspark.sql import SparkSession
 from lsh_qd_spark.config import RuntimeConfig
 
 
+def _resolve_master(master: str | None, env) -> str | None:
+    """Only force a master when one was EXPLICITLY requested (parameter or
+    SPARK_GRAFT_MASTER env). Under spark-submit — detectable because the
+    JVM gateway that launched this python sets PYSPARK_GATEWAY_PORT — a
+    code-set master OVERRIDES --master, silently turning a cluster
+    submission into local[*] on the driver. Bare-python callers (bench,
+    notebooks) still get the local[*] convenience default."""
+    master = master or env.get("SPARK_GRAFT_MASTER")
+    if not master and "PYSPARK_GATEWAY_PORT" not in env:
+        master = "local[*]"
+    return master
+
+
 def get_spark(
     app_name: str = "lsh_qd_spark",
     master: str | None = None,
@@ -21,7 +34,7 @@ def get_spark(
     pinned UTC for DuckDB-oracle comparability.
     """
     runtime = runtime or RuntimeConfig()
-    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    master = _resolve_master(master, os.environ)
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(runtime.shuffle_partitions))
