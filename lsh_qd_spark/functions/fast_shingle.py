@@ -79,6 +79,17 @@ def shingle_sets(texts, k: int) -> list:
     ]
 
 
+# Sentinel token for the batched-join tokenizer: NUL is not whitespace to
+# either tokenizer (Python str.split or Arrow utf8_split_whitespace), so it
+# survives the split as its own token and marks document boundaries. Any
+# input that already CONTAINS a NUL routes to the object fallback.
+_SEP = "\x00"
+# One joined batch string must fit 32-bit Arrow string offsets (2 GiB of
+# utf-8). 400M chars * 4 bytes/char worst case = 1.6 GiB, safely under;
+# ordinary 10k-row Arrow batches of web text are tens of MB.
+_MAX_JOIN_CHARS = 400_000_000
+
+
 def shingle_windows(texts, k: int) -> list:
     """Per-document k-gram shingle ids WITHOUT the per-doc set dedup —
     raw rolling-hash windows (duplicates possible, unsorted). MinHash is
@@ -86,7 +97,97 @@ def shingle_windows(texts, k: int) -> list:
     the fused signature path consumes these directly and skips the per-doc
     ``np.unique`` sort, ~25% off the whole kernel (measured, 10k-doc
     batch). Anything needing true SET semantics (Jaccard verify, SimHash
-    majorities) must go through ``shingle_sets``/``shingle_set``."""
+    majorities) must go through ``shingle_sets``/``shingle_set``.
+
+    Tokenization runs batch-at-once through Arrow C++ kernels (join all
+    docs with a NUL sentinel → ONE Python ``str.lower()`` over the joined
+    string → ``utf8_split_whitespace`` → ``dictionary_encode``), so no
+    per-token Python object is ever created: 2-3x faster than the per-doc
+    object path (measured, 10k-doc synth batches), output bit-identical.
+    Safe because the two tokenizers agree exactly: the 29 codepoints
+    Python ``str.split()`` treats as whitespace are precisely the ones
+    Arrow splits on (full-range scan in tests/test_shingle.py), and
+    ``lower()`` stays on the Python side (Arrow's ``utf8_lower`` is a
+    simple case map — it would diverge on final sigma / dotted-I).
+    Inputs the trick can't represent (a doc containing the sentinel, a
+    batch whose join would overflow 32-bit Arrow offsets, non-string
+    payloads) fall back to ``_shingle_windows_objects``."""
+    tl = list(texts)
+    n_docs = len(tl)
+    if n_docs == 0:
+        return []
+    if (
+        n_docs == 1
+        or any(
+            (t is not None and not isinstance(t, str)) or (t and _SEP in t)
+            for t in tl
+        )
+        or sum(len(t) for t in tl if t) > _MAX_JOIN_CHARS
+    ):
+        return _shingle_windows_objects(tl, k)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out: list = [None] * n_docs
+    low = (" " + _SEP + " ").join(t if t else "" for t in tl).lower()
+    # .values of the 1-element split result = ALL tokens, one contiguous
+    # Arrow string array (includes empty strings the splitter emits at
+    # leading/trailing whitespace — dropped below by code, vectorized)
+    vals = pc.utf8_split_whitespace(pa.array([low])).values
+    dic = pc.dictionary_encode(vals)
+    codes = dic.indices.to_numpy()  # int32, zero-copy
+    uniq = dic.dictionary.to_pylist()
+    uh = np.fromiter(
+        (zlib.crc32(u.encode()) for u in uniq), np.uint64, count=len(uniq)
+    )
+    try:
+        codes = codes[codes != uniq.index("")]
+    except ValueError:
+        pass  # no empty tokens in this batch
+    c = uh[codes]
+    total = len(codes)
+    # document boundaries = positions of the sentinel token. The guard
+    # above makes exactly n_docs-1 of them structurally certain: the join
+    # inserts n_docs-1 sentinels, no input contains one, and neither
+    # lower() nor the split can create or absorb one (NUL has no case
+    # mapping and is not whitespace).
+    sep_code = uniq.index(_SEP)
+    bounds = np.nonzero(codes == sep_code)[0]
+    assert len(bounds) == n_docs - 1, (len(bounds), n_docs)
+    starts = np.empty(n_docs, np.int64)
+    ends = np.empty(n_docs, np.int64)
+    starts[0] = 0
+    starts[1:] = bounds + 1
+    ends[:-1] = bounds
+    ends[-1] = total
+    lens = ends - starts
+    # rolling hash over the whole stream, sentinels included: windows that
+    # contain a sentinel sit in the cross-boundary zone the per-doc slices
+    # below never touch (same discard-by-slicing as the object path)
+    if total >= k:
+        acc = np.zeros(total - k + 1, dtype=np.uint64)
+        for j in range(k):
+            np.multiply(acc, _B, out=acc)
+            np.add(acc, c[j : total - k + 1 + j], out=acc)
+        for i in np.nonzero(lens >= k)[0]:
+            s = starts[i]
+            out[i] = acc[s : s + lens[i] - k + 1]
+    # short documents (0 < n < k) take one shingle over all n tokens — the
+    # scalar path's m = min(n, k) case, run per doc (rare in web text)
+    for i in np.nonzero((lens > 0) & (lens < k))[0]:
+        seg = c[starts[i] : ends[i]]
+        a = np.zeros(1, dtype=np.uint64)
+        for j in range(int(lens[i])):
+            a = a * _B + seg[j : j + 1]
+        out[i] = a
+    return out
+
+
+def _shingle_windows_objects(texts, k: int) -> list:
+    """Per-doc Python-object tokenize path: the pre-Arrow implementation,
+    kept as the semantics oracle and the fallback for inputs the joined-
+    batch trick can't represent (see shingle_windows). Output-identity of
+    the two paths is pinned in tests/test_shingle.py."""
     toks_list = [t.lower().split() if t else [] for t in texts]
     n_docs = len(toks_list)
     lens = np.fromiter((len(t) for t in toks_list), np.int64, count=n_docs)

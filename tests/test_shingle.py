@@ -160,3 +160,93 @@ def test_windows_give_identical_minhash_signatures():
         a, b, MERSENNE_P, HASH_M,
     )
     assert np.array_equal(m_set, m_win)
+
+
+# ---- Arrow batched tokenizer vs object-path oracle --------------------------
+
+def _same_windows(a, b):
+    import numpy as np
+
+    return len(a) == len(b) and all(
+        (x is None and y is None)
+        or (x is not None and y is not None and np.array_equal(x, y))
+        for x, y in zip(a, b)
+    )
+
+
+def test_arrow_windows_identical_to_object_path():
+    """The Arrow joined-batch tokenizer must be bit-identical to the
+    per-doc object path on ordinary and adversarial inputs."""
+    import numpy as np
+
+    from lsh_qd_spark.functions.fast_shingle import (
+        _shingle_windows_objects,
+        shingle_windows,
+    )
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(500)] + ["ΑΣ", "İs", "ÄÖÜ", "ß"]
+    texts = [
+        " ".join(rng.choice(vocab, rng.randint(0, 30))) for _ in range(400)
+    ] + [
+        None, "", "   ", "one", "a b c d", "a b c d e f g",
+        "ΑΣ ΒΣ ΓΣ ΔΣ ΕΣ ΖΣ",      # final-sigma context casing
+        "İstanbul Σ x y z w",       # dotted-I full lowercase mapping
+        "ΣΑ σ ς",
+        # final-sigma across the join seam: a doc ending in a cased letter
+        # followed by a doc starting (or consisting) of Σ must not turn
+        # the standalone Σ final through the sentinel
+        "word ends cased X", "Σ a b c d e", "ΑΣ", "Σ", "xΣ yΣ", "Σx Σ",
+        "tab\tsep\nnl and\x0bmore", # every Python whitespace class splits
+        " lead", "trail ", "x\xa0nbsp y z a b",
+        "a\x1cb c\x1dd e\x1ff g",   # C1 separators: whitespace to BOTH paths
+    ]
+    for k in (2, 5):
+        assert _same_windows(
+            shingle_windows(texts, k), _shingle_windows_objects(texts, k)
+        ), f"k={k}"
+
+
+def test_arrow_windows_sentinel_fallback():
+    """A document containing the NUL sentinel must route to the object
+    path (and still produce object-path results)."""
+    from lsh_qd_spark.functions.fast_shingle import (
+        _shingle_windows_objects,
+        shingle_windows,
+    )
+
+    texts = ["x \x00 y a b c", "plain doc here a b", None, ""]
+    assert _same_windows(
+        shingle_windows(texts, 3), _shingle_windows_objects(texts, 3)
+    )
+
+
+def test_arrow_split_whitespace_set_matches_python():
+    """The Arrow fast path is sound only because utf8_split_whitespace
+    splits on EXACTLY the codepoints Python str.split() does. Pin the
+    agreement over every Python-whitespace codepoint and a boundary
+    sample of non-whitespace ones (the full-range scan was run once;
+    this keeps the cheap invariant in CI)."""
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    py_ws = [
+        chr(c)
+        for c in range(sys.maxunicode + 1)
+        if chr(c).isspace()
+    ]
+    assert len(py_ws) == 29  # the scanned set; a unicodedata bump re-opens this
+    for ch in py_ws:
+        toks = [
+            t
+            for t in pc.utf8_split_whitespace(
+                pa.array([f"a{ch}b"])
+            ).to_pylist()[0]
+            if t
+        ]
+        assert toks == ["a", "b"], hex(ord(ch))
+    for ch in ["\x00", "_", "-", "​", "⁠", "a"]:  # must NOT split
+        toks = pc.utf8_split_whitespace(pa.array([f"a{ch}b"])).to_pylist()[0]
+        assert toks == [f"a{ch}b"], hex(ord(ch))
