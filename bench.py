@@ -977,11 +977,17 @@ def headline_only() -> dict:
         "probe": probe,
         "achieved_concurrency": r.get("achieved_concurrency"),
     }
+    before = update_best_headline(None)
     best = update_best_headline(rec)
-    # refresh the payload cache + BASELINE.md so a ratcheted record ships
-    # in the next driver artifact even if no full bench runs in between
+    # refresh the payload cache + BASELINE.md ONLY when the ratchet fired:
+    # update_best_headline returns the stored best either way, and a
+    # non-ratcheting attempt regenerating the md would clobber the trials
+    # table with this attempt's (worse-window) numbers
+    ratcheted = best is not None and best.get("recorded_at") != (
+        (before or {}).get("recorded_at")
+    )
     cache = os.path.join(REPO, "BENCH", "payload.json")
-    if best is not None and os.path.exists(cache):
+    if ratcheted and os.path.exists(cache):
         with open(cache) as f:
             payload = json.load(f)
         payload["headline_best_recorded"] = best
@@ -1116,32 +1122,36 @@ def cluster_sim_only(
     return rec
 
 
-def _trial_rows(s: dict | None = None) -> list[str]:
-    """Raw per-parallelism trials from the worker output files, falling
-    back to the trials embedded in the scaling payload (the /tmp files do
-    not survive a host reboot; the payload does)."""
-    rows = []
+def _trial_rows(
+    s: dict | None = None, payload: dict | None = None
+) -> list[str]:
+    """Raw per-parallelism trials, PAYLOAD-FIRST: the table must describe
+    the same measurements the rest of BASELINE.md reports, so trials
+    embedded in the payload (scaling ``n_trials``/``4n_trials``, headline
+    ``headline_trials``) take precedence. The /tmp worker files fill only
+    levels the payload lacks — they are overwritten by every standalone
+    attempt (``--headline-only``, watcher runs), so reading them first
+    desynchronized the table from the payload's medians."""
+    rows: dict[int, str] = {}
+
+    def put(cpus, ts):
+        if ts and cpus is not None and cpus not in rows:
+            trials = ", ".join(f"{t:.1f}" for t in ts)
+            rows[cpus] = f"| local[{cpus}] | {trials} | {_median(ts):.1f} |"
+
+    if s:
+        put(s.get("cpus_n"), s.get("n_trials"))
+        put(s.get("cpus_4n"), s.get("4n_trials"))
+    if payload:
+        put(CPUS, payload.get("headline_trials"))
     for cpus in sorted({*SCALE_CPUS, CPUS}):
         path = f"/tmp/lsh_qd_bench_scale_{cpus}.json"
-        if not os.path.exists(path):
+        if cpus in rows or not os.path.exists(path):
             continue
         with open(path) as f:
             d = json.load(f)
-        trials = ", ".join(f"{t:.1f}" for t in d.get("trials", []))
-        rows.append((cpus, f"| local[{cpus}] | {trials} | {d['sec']:.1f} |"))
-    if s:
-        # per-LEVEL fallback, not all-or-nothing: after a /tmp wipe a lone
-        # surviving file (e.g. the headline worker's) must not suppress
-        # the N/4N rows embedded in the scaling payload
-        have = {c for c, _ in rows}
-        for key, cpus in (("n_trials", s.get("cpus_n")), ("4n_trials", s.get("cpus_4n"))):
-            ts = s.get(key)
-            if ts and cpus is not None and cpus not in have:
-                trials = ", ".join(f"{t:.1f}" for t in ts)
-                rows.append(
-                    (cpus, f"| local[{cpus}] | {trials} | {_median(ts):.1f} |")
-                )
-    return [r for _, r in sorted(rows)]
+        put(cpus, d.get("trials") or [d["sec"]])
+    return [rows[c] for c in sorted(rows)]
 
 
 def _wg_best_lines(b: dict) -> list[str]:
@@ -1370,7 +1380,7 @@ def write_bench_md(payload: dict) -> None:
         "",
         "| parallelism | trials | median |",
         "|---|---|---|",
-        *_trial_rows(s),
+        *_trial_rows(s, payload),
         "",
         "The sandbox shares its host (steal-time spikes show up as trial",
         "outliers); median absorbs them where a single cold run or min-of-N",
@@ -1616,12 +1626,14 @@ def main() -> None:
     _latest_payload["scaling_best_summary"] = _scaling_summary(
         _latest_payload["scaling_best_recorded"]
     )
+    headline_trials: list[float] = []
     if scaling_only:
         with open(payload_cache) as f:
             prev = json.load(f)
         times = prev["queries"]
         n_pages = prev["bench_docs"]
         pages_per_sec = prev["pages_per_sec"]
+        headline_trials = prev.get("headline_trials") or []
         spark = _session(CPUS)
         _ensure_corpus(spark, BENCH_DOCS)
         spark.stop()
@@ -1655,6 +1667,7 @@ def main() -> None:
             n_pages = head["n_pages"]
             times["dedup_bench_corpus"] = round(head["sec"], 3)
             pages_per_sec = round(n_pages / head["sec"], 1)
+            headline_trials = [round(t, 2) for t in head.get("trials", [])]
             update_best_headline(
                 {
                     "pages_per_sec": pages_per_sec,
@@ -1678,6 +1691,11 @@ def main() -> None:
             "sf": SF_DIR,
             "bench_docs": n_pages,
             "pages_per_sec": pages_per_sec,
+            # raw headline trials travel IN the payload for the same
+            # reason the scaling trials do: BASELINE.md's trials table
+            # must describe THIS payload's numbers, not whatever /tmp
+            # worker file a later standalone attempt overwrote
+            "headline_trials": headline_trials,
             "scaling": scaling,
             "scaling_best_recorded": update_best_scaling(scaling),
             "headline_best_recorded": update_best_headline(None),

@@ -331,10 +331,35 @@ def test_headline_only_ratchets_and_refreshes_payload(monkeypatch, tmp_path):
             "sec": 120.0,
         },
     )
+    md = tmp_path / "BENCH" / "BASELINE.md"
+    md.write_text("SENTINEL — must survive a non-ratcheting attempt\n")
     bench.headline_only()
     payload = json.loads(cache.read_text())
     assert (
         payload["headline_best_recorded"]["pages_per_sec"] == 50000.0
+    )
+    # ...and the non-ratcheting attempt must not regenerate BASELINE.md
+    # either (it would clobber the trials table with this attempt's
+    # worse-window numbers)
+    assert md.read_text().startswith("SENTINEL")
+
+
+def test_trial_rows_payload_first(tmp_path, monkeypatch):
+    """BASELINE.md's raw-trials table must describe the payload's own
+    measurements; /tmp worker files (overwritten by every standalone
+    attempt) only fill levels the payload lacks."""
+    s = {
+        "cpus_n": 4,
+        "cpus_4n": 16,
+        "n_trials": [100.0, 110.0, 120.0],
+        "4n_trials": [29.0, 30.0, 31.0],
+    }
+    payload = {"headline_trials": [50.0, 60.0, 70.0]}
+    rows = bench._trial_rows(s, payload)
+    assert f"| local[4] | 100.0, 110.0, 120.0 | 110.0 |" in rows[0]
+    assert f"| local[16] | 29.0, 30.0, 31.0 | 30.0 |" in rows[1]
+    assert (
+        f"| local[{bench.CPUS}] | 50.0, 60.0, 70.0 | 60.0 |" in rows[2]
     )
 
 
