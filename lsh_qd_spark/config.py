@@ -62,9 +62,17 @@ class DedupConfig:
     # how verify fetches candidate text: 'auto' counts candidate ids and
     # broadcasts them (one corpus scan, zero corpus shuffle) when ≤
     # verify_broadcast_ids_cap, else falls back to the two-sided shuffle
-    # join (the 10^12-doc shape — see operators/verify.verify_pairs_text)
+    # join (the 10^12-doc shape — see operators/verify.verify_pairs_text).
+    # The cap bounds the broadcast of the CANDIDATE IDS (8 B/row → 64 MB
+    # at the default), NOT the candidate texts — those are materialized
+    # distributed (localCheckpoint) and byte-gated separately. Sized so the
+    # full-corpus-shuffle fallback only triggers when the id set itself
+    # stops being broadcastable: profiling showed the old 1M default sent a
+    # 3M-page corpus with 1.1M candidates into TWO full corpus-text
+    # shuffles (2.8 GiB each) when the candidate texts were a 1 GiB
+    # checkpoint away.
     verify_fetch: str = "auto"
-    verify_broadcast_ids_cap: int = 1_000_000
+    verify_broadcast_ids_cap: int = 8_000_000
 
     @property
     def num_hashes(self) -> int:
