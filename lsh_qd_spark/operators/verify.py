@@ -90,7 +90,7 @@ def verify_pairs_text(
     id_col: str = "doc_id",
     text_col: str = "text",
     fetch: str = "auto",
-    broadcast_ids_cap: int = 1_000_000,
+    broadcast_ids_cap: int = 8_000_000,
     broadcast_bytes_cap: int = 512 * 1024 * 1024,
 ) -> DataFrame:
     """Jaccard verify straight from text — the production path.
