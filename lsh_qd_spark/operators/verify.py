@@ -12,8 +12,12 @@ arrays — shingle arrays are deduplicated at creation so set semantics hold.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def jaccard_expr(a: Column, b: Column) -> Column:
@@ -61,6 +65,17 @@ def _auto_fetch(
     candidate_shuffle joins move anyway, and never driver-resident."""
     n_ids = ids.count()
     if n_ids > broadcast_ids_cap:
+        # the one mode that rescans + reshuffles the whole corpus twice —
+        # loud, so a run that fell off the candidate-bounded path is
+        # visible without pulling physical plans from the REST API
+        logger.warning(
+            "verify fetch=shuffle: %d candidate ids > cap %d; "
+            "pairs will join against the FULL corpus (2 scans + 2 "
+            "corpus shuffles). If candidates are a small fraction of "
+            "the corpus, raise verify_broadcast_ids_cap.",
+            n_ids,
+            broadcast_ids_cap,
+        )
         return "shuffle", None
     # eager localCheckpoint: BOTH pair joins (and the byte gate) consume
     # this — without it the corpus scan + semi-join would re-run per
@@ -77,9 +92,19 @@ def _auto_fetch(
         ).first()["_b"]
         or 0
     )
-    if n_bytes + 24 * n_ids <= broadcast_bytes_cap:
-        return "broadcast_ids", tchk
-    return "candidate_shuffle", tchk
+    mode = (
+        "broadcast_ids"
+        if n_bytes + 24 * n_ids <= broadcast_bytes_cap
+        else "candidate_shuffle"
+    )
+    logger.info(
+        "verify fetch=%s: %d candidate ids, %d text bytes (byte cap %d)",
+        mode,
+        n_ids,
+        n_bytes,
+        broadcast_bytes_cap,
+    )
+    return mode, tchk
 
 
 def verify_pairs_text(

@@ -115,3 +115,27 @@ def test_auto_fetch_measures_candidate_bytes_not_corpus_head(spark):
     null_ids = spark.createDataFrame([(i,) for i in range(5)], "_vid long")
     mode, _ = _auto_fetch(null_ids, null_docs, 100, 100_000)
     assert mode == "broadcast_ids"
+
+
+def test_auto_fetch_logs_its_decision(spark, caplog):
+    """Every auto decision is logged (the full-corpus shuffle loudly, as a
+    WARNING): a production run that fell off the candidate-bounded path
+    must be diagnosable from driver logs, not from physical-plan dumps."""
+    import logging
+
+    from lsh_qd_spark.operators.verify import _auto_fetch
+
+    docs = spark.createDataFrame(
+        [(i, "abcdef") for i in range(20)], "_vid long, _vtx string"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(20)], "_vid long")
+    with caplog.at_level(logging.INFO, logger="lsh_qd_spark.operators.verify"):
+        _auto_fetch(ids, docs, 1_000_000, 100_000)
+        _auto_fetch(ids, docs, 1_000_000, 1)
+        _auto_fetch(ids, docs, 5, 100_000)
+    msgs = [(r.levelname, r.getMessage()) for r in caplog.records]
+    assert any(lvl == "INFO" and "fetch=broadcast_ids" in m for lvl, m in msgs)
+    assert any(
+        lvl == "INFO" and "fetch=candidate_shuffle" in m for lvl, m in msgs
+    )
+    assert any(lvl == "WARNING" and "fetch=shuffle" in m for lvl, m in msgs)
