@@ -977,14 +977,17 @@ def headline_only() -> dict:
         "probe": probe,
         "achieved_concurrency": r.get("achieved_concurrency"),
     }
-    before = update_best_headline(None)
     best = update_best_headline(rec)
     # refresh the payload cache + BASELINE.md ONLY when the ratchet fired:
     # update_best_headline returns the stored best either way, and a
     # non-ratcheting attempt regenerating the md would clobber the trials
-    # table with this attempt's (worse-window) numbers
-    ratcheted = best is not None and best.get("recorded_at") != (
-        (before or {}).get("recorded_at")
+    # table with this attempt's (worse-window) numbers. "Fired" = the
+    # stored record now carries exactly this attempt's values (recorded_at
+    # aside) — value-equality is race-free where the previous recorded_at
+    # comparison missed same-second ratchets and raced a concurrent
+    # attempt landing between two separately-locked reads.
+    ratcheted = best is not None and all(
+        best.get(k) == v for k, v in rec.items()
     )
     cache = os.path.join(REPO, "BENCH", "payload.json")
     if ratcheted and os.path.exists(cache):
@@ -1143,7 +1146,11 @@ def _trial_rows(
         put(s.get("cpus_n"), s.get("n_trials"))
         put(s.get("cpus_4n"), s.get("4n_trials"))
     if payload:
-        put(CPUS, payload.get("headline_trials"))
+        # label the headline trials with the parallelism they were RECORDED
+        # at (carried in the payload since the headline_cpus key existed) —
+        # a regeneration under a different SPARK_GRAFT_CPUS must not relabel
+        # or shadow them; CPUS is only the legacy-payload fallback
+        put(payload.get("headline_cpus") or CPUS, payload.get("headline_trials"))
     for cpus in sorted({*SCALE_CPUS, CPUS}):
         path = f"/tmp/lsh_qd_bench_scale_{cpus}.json"
         if cpus in rows or not os.path.exists(path):
@@ -1627,6 +1634,7 @@ def main() -> None:
         _latest_payload["scaling_best_recorded"]
     )
     headline_trials: list[float] = []
+    headline_cpus = CPUS
     if scaling_only:
         with open(payload_cache) as f:
             prev = json.load(f)
@@ -1634,6 +1642,9 @@ def main() -> None:
         n_pages = prev["bench_docs"]
         pages_per_sec = prev["pages_per_sec"]
         headline_trials = prev.get("headline_trials") or []
+        # keep the trials labeled with the parallelism they were measured
+        # at, not this process's CPUS (legacy payloads lack the key)
+        headline_cpus = prev.get("headline_cpus") or CPUS
         spark = _session(CPUS)
         _ensure_corpus(spark, BENCH_DOCS)
         spark.stop()
@@ -1696,6 +1707,7 @@ def main() -> None:
             # must describe THIS payload's numbers, not whatever /tmp
             # worker file a later standalone attempt overwrote
             "headline_trials": headline_trials,
+            "headline_cpus": headline_cpus,
             "scaling": scaling,
             "scaling_best_recorded": update_best_scaling(scaling),
             "headline_best_recorded": update_best_headline(None),

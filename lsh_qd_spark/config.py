@@ -36,6 +36,13 @@ REF_P = 4294967311
 # silently joining to nothing.
 KERNEL_VERSION = 2
 
+# One shared default for DedupConfig.verify_broadcast_ids_cap AND the
+# standalone verify_pairs_text(broadcast_ids_cap=...) signature — the two
+# defaults desynced once (commit 9780f78 exists solely to re-sync them),
+# which silently gave standalone callers a different fetch-mode boundary
+# than pipeline runs. Sizing rationale lives at the dataclass field.
+VERIFY_BROADCAST_IDS_CAP = 8_000_000
+
 
 @dataclass(frozen=True)
 class DedupConfig:
@@ -72,7 +79,7 @@ class DedupConfig:
     # shuffles (2.8 GiB each) when the candidate texts were a 1 GiB
     # checkpoint away.
     verify_fetch: str = "auto"
-    verify_broadcast_ids_cap: int = 8_000_000
+    verify_broadcast_ids_cap: int = VERIFY_BROADCAST_IDS_CAP
 
     @property
     def num_hashes(self) -> int:

@@ -151,9 +151,25 @@ def shingle_windows(texts, k: int) -> list:
     # inserts n_docs-1 sentinels, no input contains one, and neither
     # lower() nor the split can create or absorb one (NUL has no case
     # mapping and is not whitespace).
-    sep_code = uniq.index(_SEP)
-    bounds = np.nonzero(codes == sep_code)[0]
-    assert len(bounds) == n_docs - 1, (len(bounds), n_docs)
+    try:
+        sep_code = uniq.index(_SEP)
+        bounds = np.nonzero(codes == sep_code)[0]
+    except ValueError:
+        bounds = None
+    if bounds is None or len(bounds) != n_docs - 1:
+        # Not an assert: executors may run with PYTHONOPTIMIZE, and a
+        # miscount here (e.g. a future Arrow unicodedata bump reclassifying
+        # some codepoint) would silently slice shingles across document
+        # boundaries. Route the batch to the semantics oracle instead.
+        import warnings
+
+        warnings.warn(
+            "shingle_windows: Arrow tokenizer found "
+            f"{-1 if bounds is None else len(bounds)} sentinel tokens for "
+            f"{n_docs} docs; falling back to the object tokenizer",
+            RuntimeWarning,
+        )
+        return _shingle_windows_objects(tl, k)
     starts = np.empty(n_docs, np.int64)
     ends = np.empty(n_docs, np.int64)
     starts[0] = 0

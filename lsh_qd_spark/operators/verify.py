@@ -17,6 +17,8 @@ import logging
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lsh_qd_spark.config import VERIFY_BROADCAST_IDS_CAP
+
 logger = logging.getLogger(__name__)
 
 
@@ -115,7 +117,7 @@ def verify_pairs_text(
     id_col: str = "doc_id",
     text_col: str = "text",
     fetch: str = "auto",
-    broadcast_ids_cap: int = 8_000_000,
+    broadcast_ids_cap: int = VERIFY_BROADCAST_IDS_CAP,
     broadcast_bytes_cap: int = 512 * 1024 * 1024,
 ) -> DataFrame:
     """Jaccard verify straight from text — the production path.

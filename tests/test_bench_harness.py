@@ -348,6 +348,9 @@ def test_trial_rows_payload_first(tmp_path, monkeypatch):
     """BASELINE.md's raw-trials table must describe the payload's own
     measurements; /tmp worker files (overwritten by every standalone
     attempt) only fill levels the payload lacks."""
+    # pin CPUS: with SPARK_GRAFT_CPUS=4/16 exported the headline row would
+    # collide with a scaling row and rows[2] would not exist
+    monkeypatch.setattr(bench, "CPUS", 32)
     s = {
         "cpus_n": 4,
         "cpus_4n": 16,
@@ -358,9 +361,11 @@ def test_trial_rows_payload_first(tmp_path, monkeypatch):
     rows = bench._trial_rows(s, payload)
     assert f"| local[4] | 100.0, 110.0, 120.0 | 110.0 |" in rows[0]
     assert f"| local[16] | 29.0, 30.0, 31.0 | 30.0 |" in rows[1]
-    assert (
-        f"| local[{bench.CPUS}] | 50.0, 60.0, 70.0 | 60.0 |" in rows[2]
-    )
+    assert f"| local[32] | 50.0, 60.0, 70.0 | 60.0 |" in rows[2]
+    # trials recorded at another parallelism keep their own label even
+    # when regenerated under a different CPUS (payload carries the cpus)
+    rows = bench._trial_rows(s, dict(payload, headline_cpus=8))
+    assert f"| local[8] | 50.0, 60.0, 70.0 | 60.0 |" in rows[1]
 
 
 def _cluster_sim(eff, n_pages=1_000_000, execs=(1, 4), cores=2):
