@@ -1072,6 +1072,9 @@ def queries_only() -> dict:
         with open(cache) as f:
             payload = json.load(f)
         payload["scaling_best_recorded"] = update_best_scaling(None)
+        payload["scaling_best_summary"] = _scaling_summary(
+            payload["scaling_best_recorded"]
+        )
         with open(cache, "w") as f:
             json.dump(payload, f, indent=2)
         write_bench_md(payload)
