@@ -151,6 +151,19 @@ def run_dedup_job(spark, pages_path: str) -> tuple[int, float, float | None]:
     return n_pages, wall, conc
 
 
+# the per-query table measured by headline_queries and ratcheted into
+# best_scaling.json `queries_best` — the watcher keys its --queries-only
+# gate on this list (a name with no banked slot fires regardless of probe)
+HEADLINE_QUERY_NAMES = (
+    "exact_dup_clusters",
+    "token_totals",
+    "quality_scores",
+    "ann_cosine_topk",
+    "simhash_near_dup_prod",
+    "dedup_pipeline_prod",
+)
+
+
 def headline_queries(spark) -> dict[str, float]:
     """Representative operator timings over the driver sf tables."""
     from pyspark.sql import functions as F
@@ -160,12 +173,9 @@ def headline_queries(spark) -> dict[str, float]:
     from lsh_qd_spark.plans.pipeline import DedupPipeline
 
     qs = entrymod.queries()
-    chosen = [
-        "exact_dup_clusters",
-        "token_totals",
-        "quality_scores",
-        "ann_cosine_topk",
-    ]
+    # first four come straight from the driver query registry; the two
+    # *_prod timings below are computed inline
+    chosen = list(HEADLINE_QUERY_NAMES[:4])
     # stream each finished timing into the watchdog's snapshot: a
     # mid-phase watchdog fire then still reports every completed query
     # instead of an empty dict
@@ -751,26 +761,68 @@ STANDARD_SCALE_DOCS = 3_000_000
 STANDARD_CPUS = 32
 
 
+def _locked_best(mutate) -> dict | None:
+    """Serialize a read-modify-write of best_scaling.json under flock —
+    driver rounds and watcher-spawned attempts can overlap, and without
+    the lock a slower concurrent run could overwrite a better best
+    recorded in between. ``mutate(best) -> bool`` edits the store dict in
+    place and returns whether anything changed; the file is rewritten
+    only then. Returns the (possibly updated) store, or None when
+    nothing exists on disk and nothing was recorded. Shared by every
+    ratchet slot — the earlier per-slot copies of this boilerplate
+    drifted (one forgot the summary refresh downstream)."""
+    import fcntl
+
+    os.makedirs(os.path.dirname(BEST_SCALING_PATH), exist_ok=True)
+    with open(BEST_SCALING_PATH + ".lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        exists = os.path.exists(BEST_SCALING_PATH)
+        best: dict = {}
+        if exists:
+            with open(BEST_SCALING_PATH) as f:
+                best = json.load(f)
+        if mutate(best):
+            with open(BEST_SCALING_PATH, "w") as f:
+                json.dump(best, f, indent=2)
+            return best
+        return best if exists else None
+
+
+def _refresh_payload_md(extra: dict | None = None) -> None:
+    """Refresh the BENCH/payload.json cache with the ratcheted bests on
+    disk (scaling_best_recorded + its summary + headline_best_recorded)
+    plus any caller-supplied keys, then regenerate BASELINE.md. Shared by
+    every standalone attempt (--wg-only, --headline-only, --queries-only,
+    --cluster-sim) so a ratcheted record ships in the next driver
+    artifact; the summary is ALWAYS recomputed from the same store the
+    slots are read from, so the MET/not-met headline can't contradict
+    the slot paragraphs below it."""
+    cache = os.path.join(REPO, "BENCH", "payload.json")
+    if not os.path.exists(cache):
+        return
+    with open(cache) as f:
+        payload = json.load(f)
+    payload["scaling_best_recorded"] = update_best_scaling(None)
+    payload["scaling_best_summary"] = _scaling_summary(
+        payload["scaling_best_recorded"]
+    )
+    payload["headline_best_recorded"] = update_best_headline(None)
+    if extra:
+        payload.update(extra)
+    with open(cache, "w") as f:
+        json.dump(payload, f, indent=2)
+    write_bench_md(payload)
+
+
 def update_best_scaling(s: dict | None) -> dict | None:
     """Persist the best scaling measurement seen across ALL runs (driver
     rounds and manual --scaling-only retries alike) so a quiet-window catch
     ships in the next driver artifact instead of living only in prose.
     Every candidate carries its per-round weather probes — the number is
     only as honest as its recorded granted-cores context, which is why the
-    probes are stored alongside, not summarized away.
+    probes are stored alongside, not summarized away."""
 
-    Driver runs and watcher-spawned --scaling-only runs can overlap, so
-    the read-compare-write is serialized with flock — without it a slower
-    concurrent run could overwrite a better best recorded in between."""
-    import fcntl
-
-    os.makedirs(os.path.dirname(BEST_SCALING_PATH), exist_ok=True)
-    with open(BEST_SCALING_PATH + ".lock", "w") as lock:
-        fcntl.flock(lock, fcntl.LOCK_EX)
-        best = None
-        if os.path.exists(BEST_SCALING_PATH):
-            with open(BEST_SCALING_PATH) as f:
-                best = json.load(f)
+    def mutate(best: dict) -> bool:
         now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         dirty = False
         # the within-grant pair (sized to FIT the host's granted cores) is
@@ -781,8 +833,6 @@ def update_best_scaling(s: dict | None) -> dict | None:
         # comparable to a 1->4 pair, it is separate (stronger-parallelism)
         # evidence and must not be gated by the 1->4 record.
         cand_wg = (s or {}).get("within_grant")
-        wg_slot = None
-        prev_wg = None
         if cand_wg and cand_wg.get("scaling_efficiency_n_to_4n") is not None:
             pair = (cand_wg.get("cpus_n", 1), cand_wg.get("cpus_4n", 4))
             wg_slot = (
@@ -790,7 +840,7 @@ def update_best_scaling(s: dict | None) -> dict | None:
                 if pair == (1, 4)
                 else f"within_grant_best_{pair[0]}x{pair[1]}"
             )
-            prev_wg = (best or {}).get(wg_slot)
+            prev_wg = best.get(wg_slot)
             # lexicographic (corpus size, efficiency): a larger-corpus
             # measurement has a LOWER Amdahl floor (fixed stage latency is
             # a smaller fraction of the run), so it is strictly stronger
@@ -802,7 +852,7 @@ def update_best_scaling(s: dict | None) -> dict | None:
                 prev_wg.get("n_pages", 0),
                 prev_wg["scaling_efficiency_n_to_4n"],
             ):
-                prev_wg = dict(cand_wg, recorded_at=now)
+                best[wg_slot] = dict(cand_wg, recorded_at=now)
                 dirty = True
         if (
             s
@@ -810,14 +860,13 @@ def update_best_scaling(s: dict | None) -> dict | None:
             and s.get("n_pages") == STANDARD_SCALE_DOCS
         ):
             if (
-                best is None
-                or best.get("scaling_efficiency_n_to_4n") is None
+                best.get("scaling_efficiency_n_to_4n") is None
                 or s["scaling_efficiency_n_to_4n"]
                 > best["scaling_efficiency_n_to_4n"]
             ):
-                keep_wg = {
+                keep = {
                     k: v
-                    for k, v in (best or {}).items()
+                    for k, v in best.items()
                     if k.startswith(
                         (
                             "within_grant_best",
@@ -827,22 +876,15 @@ def update_best_scaling(s: dict | None) -> dict | None:
                         )
                     )
                 }
-                best = dict(s)
+                best.clear()
+                best.update(s)
                 best.pop("within_grant", None)
-                best.update(keep_wg)
+                best.update(keep)
                 best["recorded_at"] = now
                 dirty = True
-        if wg_slot is not None and prev_wg is not None:
-            if best is None:
-                # within-grant evidence can precede any eligible primary run
-                best = {}
-            if best.get(wg_slot) != prev_wg:
-                best[wg_slot] = prev_wg
-                dirty = True
-        if dirty and best is not None:
-            with open(BEST_SCALING_PATH, "w") as f:
-                json.dump(best, f, indent=2)
-    return best
+        return dirty
+
+    return _locked_best(mutate)
 
 
 def update_best_headline(rec: dict | None) -> dict | None:
@@ -851,15 +893,8 @@ def update_best_headline(rec: dict | None) -> dict | None:
     rationale as the scaling ratchet: the driver samples one weather
     window per round, and the engine's demonstrated ceiling should ship
     in the artifact with its probe context, not live in prose."""
-    import fcntl
 
-    os.makedirs(os.path.dirname(BEST_SCALING_PATH), exist_ok=True)
-    with open(BEST_SCALING_PATH + ".lock", "w") as lock:
-        fcntl.flock(lock, fcntl.LOCK_EX)
-        best = {}
-        if os.path.exists(BEST_SCALING_PATH):
-            with open(BEST_SCALING_PATH) as f:
-                best = json.load(f)
+    def mutate(best: dict) -> bool:
         prev = best.get("headline_best")
         if (
             rec
@@ -873,9 +908,10 @@ def update_best_headline(rec: dict | None) -> dict | None:
         ):
             now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
             best["headline_best"] = dict(rec, recorded_at=now)
-            with open(BEST_SCALING_PATH, "w") as f:
-                json.dump(best, f, indent=2)
-        return best.get("headline_best")
+            return True
+        return False
+
+    return (_locked_best(mutate) or {}).get("headline_best")
 
 
 def within_grant_only(
@@ -950,15 +986,8 @@ def within_grant_only(
         "n_achieved_concurrency": _median(c1s) if c1s else None,
         "4n_achieved_concurrency": _median(c4s) if c4s else None,
     }
-    best = update_best_scaling({"within_grant": wg})
-    cache = os.path.join(REPO, "BENCH", "payload.json")
-    if os.path.exists(cache):
-        with open(cache) as f:
-            payload = json.load(f)
-        payload["scaling_best_recorded"] = best
-        with open(cache, "w") as f:
-            json.dump(payload, f, indent=2)
-        write_bench_md(payload)
+    update_best_scaling({"within_grant": wg})
+    _refresh_payload_md()
     print(json.dumps(wg))
     return wg
 
@@ -994,14 +1023,8 @@ def headline_only() -> dict:
     ratcheted = best is not None and all(
         best.get(k) == v for k, v in rec.items()
     )
-    cache = os.path.join(REPO, "BENCH", "payload.json")
-    if ratcheted and os.path.exists(cache):
-        with open(cache) as f:
-            payload = json.load(f)
-        payload["headline_best_recorded"] = best
-        with open(cache, "w") as f:
-            json.dump(payload, f, indent=2)
-        write_bench_md(payload)
+    if ratcheted:
+        _refresh_payload_md()
     print(json.dumps(rec))
     return rec
 
@@ -1017,39 +1040,31 @@ def update_best_queries(
     not a plan change (plan audit pins the plans). The ratcheted row is
     the engine's demonstrated per-query ceiling with its probe context.
     Only standard-config runs ratchet; returns the stored slot."""
-    import fcntl
-
     standard = CPUS == STANDARD_CPUS and SF_DIR.rstrip("/").endswith(
         "sf0.1"
     )
-    os.makedirs(os.path.dirname(BEST_SCALING_PATH), exist_ok=True)
-    with open(BEST_SCALING_PATH + ".lock", "w") as lock:
-        fcntl.flock(lock, fcntl.LOCK_EX)
-        best = {}
-        if os.path.exists(BEST_SCALING_PATH):
-            with open(BEST_SCALING_PATH) as f:
-                best = json.load(f)
-        qb = best.get("queries_best") or {}
-        if times and standard:
-            now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-            dirty = False
-            for name, sec in times.items():
-                prev = qb.get(name)
-                if sec is not None and (
-                    prev is None or sec < prev.get("sec", float("inf"))
-                ):
-                    qb[name] = {
-                        "sec": sec,
-                        "cpus": CPUS,
-                        "probe": probe,
-                        "recorded_at": now,
-                    }
-                    dirty = True
-            if dirty:
-                best["queries_best"] = qb
-                with open(BEST_SCALING_PATH, "w") as f:
-                    json.dump(best, f, indent=2)
-        return qb
+
+    def mutate(best: dict) -> bool:
+        if not (times and standard):
+            return False
+        qb = best.setdefault("queries_best", {})
+        now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        dirty = False
+        for name, sec in times.items():
+            prev = qb.get(name)
+            if sec is not None and (
+                prev is None or sec < prev.get("sec", float("inf"))
+            ):
+                qb[name] = {
+                    "sec": sec,
+                    "cpus": CPUS,
+                    "probe": probe,
+                    "recorded_at": now,
+                }
+                dirty = True
+        return dirty
+
+    return (_locked_best(mutate) or {}).get("queries_best") or {}
 
 
 def queries_only() -> dict:
@@ -1067,17 +1082,7 @@ def queries_only() -> dict:
     qb = update_best_queries(times, probe)
     # regenerate BASELINE.md so the ratcheted table ships (reads the best
     # slots from disk via the payload cache refresh path)
-    cache = os.path.join(REPO, "BENCH", "payload.json")
-    if os.path.exists(cache):
-        with open(cache) as f:
-            payload = json.load(f)
-        payload["scaling_best_recorded"] = update_best_scaling(None)
-        payload["scaling_best_summary"] = _scaling_summary(
-            payload["scaling_best_recorded"]
-        )
-        with open(cache, "w") as f:
-            json.dump(payload, f, indent=2)
-        write_bench_md(payload)
+    _refresh_payload_md()
     print(json.dumps({"queries": times, "probe": probe}))
     return qb
 
@@ -1087,15 +1092,8 @@ def update_best_cluster_sim(rec: dict | None) -> dict:
     best_scaling.json — one slot per (executors_n, executors_4n, cores)
     topology, lexicographic (corpus size, efficiency) like the within-grant
     slots. Returns the cluster_sim slots currently on disk."""
-    import fcntl
 
-    os.makedirs(os.path.dirname(BEST_SCALING_PATH), exist_ok=True)
-    with open(BEST_SCALING_PATH + ".lock", "w") as lock:
-        fcntl.flock(lock, fcntl.LOCK_EX)
-        best = {}
-        if os.path.exists(BEST_SCALING_PATH):
-            with open(BEST_SCALING_PATH) as f:
-                best = json.load(f)
+    def mutate(best: dict) -> bool:
         if rec and rec.get("scaling_efficiency_n_to_4n") is not None:
             slot = (
                 f"cluster_sim_best_{rec['executors_n']}x"
@@ -1111,9 +1109,11 @@ def update_best_cluster_sim(rec: dict | None) -> dict:
             ):
                 now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
                 best[slot] = dict(rec, recorded_at=now)
-                with open(BEST_SCALING_PATH, "w") as f:
-                    json.dump(best, f, indent=2)
-        return {k: v for k, v in best.items() if k.startswith("cluster_sim")}
+                return True
+        return False
+
+    best = _locked_best(mutate) or {}
+    return {k: v for k, v in best.items() if k.startswith("cluster_sim")}
 
 
 def cluster_sim_only(
@@ -1194,14 +1194,7 @@ def cluster_sim_only(
     update_best_cluster_sim(rec)
     # refresh the payload cache + BASELINE.md so a ratcheted record ships
     # in the next driver artifact (same pattern as --wg-only)
-    cache = os.path.join(REPO, "BENCH", "payload.json")
-    if os.path.exists(cache):
-        with open(cache) as f:
-            payload = json.load(f)
-        payload["scaling_best_recorded"] = update_best_scaling(None)
-        with open(cache, "w") as f:
-            json.dump(payload, f, indent=2)
-        write_bench_md(payload)
+    _refresh_payload_md()
     print(json.dumps(rec))
     return rec
 
@@ -1455,7 +1448,11 @@ def write_bench_md(payload: dict) -> None:
         f"Headline per-query seconds at {payload.get('sf')}: "
         f"`{json.dumps(payload.get('queries', {}))}`",
         *_queries_best_lines(b),
-        f"Headline dedup throughput at local[{CPUS}]: "
+        # label with the parallelism the payload's throughput was RECORDED
+        # at (same rule as the trials table) — a regeneration under a
+        # different SPARK_GRAFT_CPUS must not relabel it
+        f"Headline dedup throughput at "
+        f"local[{payload.get('headline_cpus') or CPUS}]: "
         f"{payload.get('pages_per_sec')} pages/sec "
         "(fresh JVM, warm-up pass, median of "
         f"{SCALE_TRIALS} trials — same discipline as the scaling rows).",

@@ -20,13 +20,20 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from bench import BEST_SCALING_PATH, weather_probe  # noqa: E402
+from bench import (  # noqa: E402
+    BEST_SCALING_PATH,
+    HEADLINE_QUERY_NAMES,
+    weather_probe,
+)
 
 TARGET = float(os.environ.get("WATCH_TARGET", "0.8"))
 MIN_CORES = float(os.environ.get("WATCH_MIN_CORES", "12"))
 # a 2->8 within-grant attempt needs only ~8 granted cores — the regime
 # this host actually reaches — and records in its own best_scaling slot
 WG_MIN_CORES = float(os.environ.get("WATCH_WG_MIN_CORES", "8"))
+# the 1-core-per-executor cluster pair and the per-query ratchet fit the
+# host's TYPICAL ~5-core grant
+CS1_MIN_CORES = float(os.environ.get("WATCH_CS1_MIN_CORES", "4.5"))
 POLL_SEC = int(os.environ.get("WATCH_POLL_SEC", "180"))
 DEADLINE = time.time() + float(os.environ.get("WATCH_MAX_HOURS", "4.5")) * 3600
 
@@ -52,15 +59,20 @@ def best_cluster_sim(cores: int = 2) -> float | None:
     return rec.get("scaling_efficiency_n_to_4n")
 
 
-def worst_queries_probe() -> float | None:
-    """Smallest effective-core probe attached to any queries_best entry —
-    a window beating it can likely improve at least that entry."""
+def queries_window_useful(cores: float) -> bool:
+    """True when a --queries-only attempt can plausibly improve the
+    queries_best slot: some headline query has no banked entry at all
+    (ANY standard-config measurement banks its first record — gating a
+    missing name on banked probes would starve it forever), or this
+    window's grant beats the worst probe context already banked."""
     qb = _best().get("queries_best") or {}
-    cores = [
+    if any(name not in qb for name in HEADLINE_QUERY_NAMES):
+        return True
+    banked = [
         (r.get("probe") or {}).get("effective_cores") for r in qb.values()
     ]
-    cores = [c for c in cores if c is not None]
-    return min(cores) if cores else None
+    banked = [c for c in banked if c is not None]
+    return not banked or cores > min(banked) + 0.5
 
 
 def foreign_bench_running() -> bool:
@@ -101,16 +113,26 @@ def main() -> None:
             flush=True,
         )
         cores = p["effective_cores"]
-        runs: list[list[str]] = []
+        # each queued run carries ITS OWN minimum-grant requirement: the
+        # mid-queue revalidation below gates each run on that, not on a
+        # global threshold (a global WG_MIN_CORES gate starved the
+        # [4.5,8)-band cluster-sim-1c attempt behind the cheap
+        # --queries-only prefix forever — that band can never probe ≥ 8)
+        runs: list[tuple[list[str], float]] = []
         if cores >= MIN_CORES:
             # headline first: ~2 min for a probe-attached headline_best
             # attempt before committing the window to a ~25-min scaling run
-            runs = [["--headline-only"], ["--scaling-only"]]
+            runs = [
+                (["--headline-only"], MIN_CORES),
+                (["--scaling-only"], MIN_CORES),
+            ]
             # a ≥12-core window is also the BEST window for the
             # multi-executor pair — don't starve it to the [8,12) band
             cs = best_cluster_sim()
             if cs is None or cs < TARGET:
-                runs.append(["--cluster-sim", "1000000", "1:4", "2"])
+                runs.append(
+                    (["--cluster-sim", "1000000", "1:4", "2"], WG_MIN_CORES)
+                )
         elif cores >= WG_MIN_CORES:
             # the host never grants the full 16 today; bank the widest
             # N->4N pair the grant covers instead of waiting forever,
@@ -118,23 +140,26 @@ def main() -> None:
             # "N vs 4N executors" shape — whose 4N leg (4 execs x 2
             # cores) also fits an ~8-core grant
             if wg28 is None or wg28 < TARGET:
-                runs.append(["--wg-only", "3000000", "2:8"])
+                runs.append((["--wg-only", "3000000", "2:8"], WG_MIN_CORES))
             cs = best_cluster_sim()
             if cs is None or cs < TARGET:
-                runs.append(["--cluster-sim", "1000000", "1:4", "2"])
-        elif cores >= 4.5:
+                runs.append(
+                    (["--cluster-sim", "1000000", "1:4", "2"], WG_MIN_CORES)
+                )
+        elif cores >= CS1_MIN_CORES:
             # typical grant on this host is ~5 cores: the 1-core-per-
             # executor pair (4 JVMs x 1 core + driver) is the widest
             # multi-executor N->4N shape that fits INSIDE such a grant
             cs1 = best_cluster_sim(cores=1)
             if cs1 is None or cs1 < TARGET:
-                runs.append(["--cluster-sim", "1000000", "1:4", "1"])
+                runs.append(
+                    (["--cluster-sim", "1000000", "1:4", "1"], CS1_MIN_CORES)
+                )
         # cheapest attempt first (~1 min): per-query ratchet whenever this
-        # window beats the worst probe context already banked in the slot
-        qbp = worst_queries_probe()
-        if cores >= 4.5 and (qbp is None or cores > qbp + 0.5):
-            runs.insert(0, ["--queries-only"])
-        for i, args in enumerate(runs):
+        # window can improve the banked slot (missing entry or better grant)
+        if cores >= CS1_MIN_CORES and queries_window_useful(cores):
+            runs.insert(0, (["--queries-only"], CS1_MIN_CORES))
+        for i, (args, need_cores) in enumerate(runs):
             # Re-validate BETWEEN queued runs: a single poll can queue up
             # to three back-to-back ~25-min attempts, and by the second one
             # the grant may have collapsed or a driver bench round may have
@@ -149,13 +174,16 @@ def main() -> None:
                     )
                     break
                 p2 = weather_probe()
-                if p2["effective_cores"] < WG_MIN_CORES:
+                if p2["effective_cores"] < need_cores:
+                    # skip, don't break: a later queued run may need fewer
+                    # cores than this one (e.g. cluster-sim-2c after
+                    # --scaling-only)
                     print(
-                        f"grant collapsed to {p2['effective_cores']} "
-                        "cores mid-queue; dropping remaining runs",
+                        f"grant {p2['effective_cores']} < {need_cores} "
+                        f"cores mid-queue; skipping {args[0]}",
                         flush=True,
                     )
-                    break
+                    continue
             env = dict(
                 os.environ,
                 SPARK_GRAFT_GATE_SLEEP_BUDGET="240",

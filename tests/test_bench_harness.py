@@ -476,6 +476,87 @@ def test_scaling_summary_digest():
     assert s["target_met"] is True and s["best"] == 0.915
 
 
+def test_refresh_payload_md_recomputes_summary(monkeypatch, tmp_path):
+    """_refresh_payload_md must recompute scaling_best_summary from the
+    same store the slot paragraphs are rendered from — the earlier
+    per-mode refresh copies kept a stale cached summary, letting the
+    MET/not-met headline contradict a ≥0.8 slot printed below it."""
+    monkeypatch.setattr(bench, "BEST_SCALING_PATH", str(tmp_path / "b.json"))
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    (tmp_path / "BENCH").mkdir()
+    cache = tmp_path / "BENCH" / "payload.json"
+    cache.write_text(
+        json.dumps(
+            {
+                "queries": {},
+                "sf": "x",
+                "scaling_best_summary": {
+                    "target_met": False,
+                    "best": 0.1,
+                    "target": 0.8,
+                    "efficiency_by_slot": {},
+                },
+            }
+        )
+    )
+    # a watcher attempt ratchets a >=0.8 slot AFTER the cache was written
+    bench.update_best_scaling(
+        {
+            "within_grant": {
+                "scaling_efficiency_n_to_4n": 0.9,
+                "n_pages": 3_000_000,
+                "cpus_n": 1,
+                "cpus_4n": 4,
+            }
+        }
+    )
+    bench._refresh_payload_md()
+    payload = json.loads(cache.read_text())
+    assert payload["scaling_best_summary"]["target_met"] is True
+    md = (tmp_path / "BENCH" / "BASELINE.md").read_text()
+    assert "Scaling target ≥ 0.8 N→4N: MET" in md
+
+
+def _load_watcher():
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "quiet_scaling_watch",
+        os.path.join(repo, "scripts", "quiet_scaling_watch.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_watcher_queries_gate(monkeypatch, tmp_path):
+    """--queries-only fires for a headline query with NO banked slot at
+    any ≥4.5-core grant (first record beats nothing), and otherwise only
+    when the window beats the worst banked probe context."""
+    w = _load_watcher()
+    path = str(tmp_path / "best.json")
+    monkeypatch.setattr(w, "BEST_SCALING_PATH", path)
+    # empty store: any window fills the first slots
+    assert w.queries_window_useful(5.0) is True
+    full = {
+        name: {"sec": 1.0, "probe": {"effective_cores": 5.5}}
+        for name in w.HEADLINE_QUERY_NAMES
+    }
+    with open(path, "w") as f:
+        json.dump({"queries_best": full}, f)
+    # all slots banked at 5.5: a 5.0-core window cannot improve them
+    assert w.queries_window_useful(5.0) is False
+    assert w.queries_window_useful(6.1) is True
+    # one query missing its slot entirely -> fire regardless of probes
+    partial = dict(full)
+    del partial[w.HEADLINE_QUERY_NAMES[0]]
+    with open(path, "w") as f:
+        json.dump({"queries_best": partial}, f)
+    assert w.queries_window_useful(5.0) is True
+
+
 def test_run_child_reaps_grandchildren():
     """Worker children run as process-group leaders so a timeout (and the
     hard-deadline watchdog) can reap the worker's JVM grandchild — a plain
