@@ -788,10 +788,10 @@ def _locked_best(mutate) -> dict | None:
         return best if exists else None
 
 
-def _refresh_payload_md(extra: dict | None = None) -> None:
+def _refresh_payload_md() -> None:
     """Refresh the BENCH/payload.json cache with the ratcheted bests on
-    disk (scaling_best_recorded + its summary + headline_best_recorded)
-    plus any caller-supplied keys, then regenerate BASELINE.md. Shared by
+    disk (scaling_best_recorded + its summary + headline_best_recorded),
+    then regenerate BASELINE.md. Shared by
     every standalone attempt (--wg-only, --headline-only, --queries-only,
     --cluster-sim) so a ratcheted record ships in the next driver
     artifact; the summary is ALWAYS recomputed from the same store the
@@ -807,8 +807,6 @@ def _refresh_payload_md(extra: dict | None = None) -> None:
         payload["scaling_best_recorded"]
     )
     payload["headline_best_recorded"] = update_best_headline(None)
-    if extra:
-        payload.update(extra)
     with open(cache, "w") as f:
         json.dump(payload, f, indent=2)
     write_bench_md(payload)

@@ -59,17 +59,39 @@ def best_cluster_sim(cores: int = 2) -> float | None:
     return rec.get("scaling_efficiency_n_to_4n")
 
 
-def queries_window_useful(cores: float) -> bool:
+def queries_snapshot() -> dict:
+    """Comparable view of the banked per-query ratchet: sec per headline
+    name (None when missing). Used to detect whether an attempt actually
+    improved anything, so futile windows can be memoized."""
+    qb = _best().get("queries_best") or {}
+    return {
+        name: (qb.get(name) or {}).get("sec") for name in HEADLINE_QUERY_NAMES
+    }
+
+
+def queries_window_useful(cores: float, futile_cores: float) -> bool:
     """True when a --queries-only attempt can plausibly improve the
     queries_best slot: some headline query has no banked entry at all
     (ANY standard-config measurement banks its first record — gating a
     missing name on banked probes would starve it forever), or this
-    window's grant beats the worst probe context already banked."""
+    window's grant beats the worst probe context already banked.
+
+    ``futile_cores`` is the best grant at which an attempt already ran
+    without improving any entry (engine floor reached for that weather,
+    or a query that errors at any grant): requiring a strictly better
+    window prevents the gate staying open forever and the loop firing
+    back-to-back ~1-min local[32] runs for the whole watch deadline.
+    Only entries for CURRENT headline names count toward the banked-probe
+    floor — a stale renamed entry that reruns can never update must not
+    hold the gate open."""
+    if cores <= futile_cores + 0.25:
+        return False
     qb = _best().get("queries_best") or {}
     if any(name not in qb for name in HEADLINE_QUERY_NAMES):
         return True
     banked = [
-        (r.get("probe") or {}).get("effective_cores") for r in qb.values()
+        (qb[name].get("probe") or {}).get("effective_cores")
+        for name in HEADLINE_QUERY_NAMES
     ]
     banked = [c for c in banked if c is not None]
     return not banked or cores > min(banked) + 0.5
@@ -91,6 +113,9 @@ def foreign_bench_running() -> bool:
 
 
 def main() -> None:
+    # best grant at which a --queries-only attempt ran without improving
+    # anything; gates retries until a strictly better window appears
+    queries_futile_cores = -1.0
     while time.time() < DEADLINE:
         best = best_recorded()
         if best is not None and best >= TARGET:
@@ -157,7 +182,9 @@ def main() -> None:
                 )
         # cheapest attempt first (~1 min): per-query ratchet whenever this
         # window can improve the banked slot (missing entry or better grant)
-        if cores >= CS1_MIN_CORES and queries_window_useful(cores):
+        if cores >= CS1_MIN_CORES and queries_window_useful(
+            cores, queries_futile_cores
+        ):
             runs.insert(0, (["--queries-only"], CS1_MIN_CORES))
         for i, (args, need_cores) in enumerate(runs):
             # Re-validate BETWEEN queued runs: a single poll can queue up
@@ -200,6 +227,9 @@ def main() -> None:
             # timeout: subprocess.run would SIGKILL only bench.py itself,
             # skipping its SIGTERM reaper and orphaning in-flight worker
             # JVMs that burn the quiet window the watch exists to catch.
+            pre_queries = (
+                queries_snapshot() if args[0] == "--queries-only" else None
+            )
             proc = subprocess.Popen(
                 [sys.executable, "bench.py", *args],
                 cwd=REPO,
@@ -227,8 +257,20 @@ def main() -> None:
                 f"wg2x8={best_wg_2x8()}",
                 flush=True,
             )
-        if not runs:
-            time.sleep(POLL_SEC)
+            if pre_queries is not None and queries_snapshot() == pre_queries:
+                # attempt ran and banked nothing: this grant is the engine
+                # floor for that weather (or a query errors at any grant) —
+                # don't re-fire until a strictly better window appears
+                queries_futile_cores = max(queries_futile_cores, cores)
+                print(
+                    f"--queries-only improved nothing; futile grant "
+                    f"memo now {queries_futile_cores}",
+                    flush=True,
+                )
+        # sleep EVERY iteration (not only idle ones): with a memoized-open
+        # gate a non-empty runs list could otherwise re-probe and re-fire
+        # back-to-back for the whole watch deadline
+        time.sleep(POLL_SEC)
     print("watch deadline reached", flush=True)
 
 

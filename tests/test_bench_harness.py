@@ -539,7 +539,7 @@ def test_watcher_queries_gate(monkeypatch, tmp_path):
     path = str(tmp_path / "best.json")
     monkeypatch.setattr(w, "BEST_SCALING_PATH", path)
     # empty store: any window fills the first slots
-    assert w.queries_window_useful(5.0) is True
+    assert w.queries_window_useful(5.0, -1.0) is True
     full = {
         name: {"sec": 1.0, "probe": {"effective_cores": 5.5}}
         for name in w.HEADLINE_QUERY_NAMES
@@ -547,14 +547,33 @@ def test_watcher_queries_gate(monkeypatch, tmp_path):
     with open(path, "w") as f:
         json.dump({"queries_best": full}, f)
     # all slots banked at 5.5: a 5.0-core window cannot improve them
-    assert w.queries_window_useful(5.0) is False
-    assert w.queries_window_useful(6.1) is True
-    # one query missing its slot entirely -> fire regardless of probes
+    assert w.queries_window_useful(5.0, -1.0) is False
+    assert w.queries_window_useful(6.1, -1.0) is True
+    # futile memo: a 6.1-core attempt that improved nothing blocks
+    # re-fires until a strictly better window appears
+    assert w.queries_window_useful(6.1, 6.1) is False
+    assert w.queries_window_useful(6.2, 6.1) is False  # within +0.25 band
+    assert w.queries_window_useful(6.5, 6.1) is True
+    # one query missing its slot entirely -> fire regardless of probes...
     partial = dict(full)
     del partial[w.HEADLINE_QUERY_NAMES[0]]
     with open(path, "w") as f:
         json.dump({"queries_best": partial}, f)
-    assert w.queries_window_useful(5.0) is True
+    assert w.queries_window_useful(5.0, -1.0) is True
+    # ...but still never below the futile memo (an erroring query must
+    # not hold the gate open for back-to-back re-fires)
+    assert w.queries_window_useful(5.0, 5.0) is False
+    # a stale entry no longer in HEADLINE_QUERY_NAMES must not pin the
+    # banked-probe floor: all current names banked at 5.5, stale at 3.0
+    stale = dict(full)
+    stale["renamed_query_v1"] = {"sec": 1.0, "probe": {"effective_cores": 3.0}}
+    with open(path, "w") as f:
+        json.dump({"queries_best": stale}, f)
+    assert w.queries_window_useful(5.0, -1.0) is False
+    # snapshot helper: stable view keyed by current names only
+    snap = w.queries_snapshot()
+    assert set(snap) == set(w.HEADLINE_QUERY_NAMES)
+    assert all(v == 1.0 for v in snap.values())
 
 
 def test_run_child_reaps_grandchildren():
