@@ -207,16 +207,16 @@ def run_batch(spark, args) -> dict:
             )
         )
     if args.clean_boilerplate:
-        from pyspark.sql import functions as F
-
         from lsh_qd_spark.operators.clean import remove_boilerplate
 
-        def clean(df):
-            return remove_boilerplate(
+        # passthrough columns (url/warc_ts/lang, canonical_url from
+        # --latest-per-url, …) survive natively now; removed_segments
+        # rides along as the audit column, like redact's n_<rule> counts
+        preps.append(
+            lambda df: remove_boilerplate(
                 df, text_col=args.text_col, id_col=args.id_col
-            ).select(F.col("doc_id").alias(args.id_col), args.text_col)
-
-        preps.append(clean)
+            )
+        )
     if args.redact_pii:
         from lsh_qd_spark.operators.redact import redact_docs
 

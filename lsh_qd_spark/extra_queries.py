@@ -250,7 +250,7 @@ ranked AS (
   SELECT query_id, neighbor_id, cosine,
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
-  FROM scored
+  FROM scored WHERE cosine IS NOT NULL
 )
 SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {ANN_TOP_K}
 """
@@ -314,7 +314,7 @@ ranked AS (
   SELECT query_id, neighbor_id, cosine,
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
-  FROM scored
+  FROM scored WHERE cosine IS NOT NULL
 )
 SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {ANN_TOP_K}
 """
@@ -417,7 +417,7 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(v == 3, F.concat(F.lit("https://example.com/p/"), page,
                                F.lit("/?utm_source=feed")))
         .when(v == 4, F.concat(F.lit("https://example.com/p/"), page,
-                               F.lit("?utm_campaign=x&gclid=1")))
+                               F.lit("?UTM_Campaign=x&Gclid=1")))
         # userinfo spelling: credentials must be stripped from the
         # canonical key, and www./port stripping must still fire behind
         # the 'user@'
@@ -438,7 +438,7 @@ WITH urls AS (
       WHEN 1 THEN 'https://www.example.com/p/' || (doc_id % 100) || '#frag'
       WHEN 2 THEN 'HTTPS://EXAMPLE.COM:443/p/' || (doc_id % 100)
       WHEN 3 THEN 'https://example.com/p/' || (doc_id % 100) || '/?utm_source=feed'
-      WHEN 4 THEN 'https://example.com/p/' || (doc_id % 100) || '?utm_campaign=x&gclid=1'
+      WHEN 4 THEN 'https://example.com/p/' || (doc_id % 100) || '?UTM_Campaign=x&Gclid=1'
       ELSE 'https://bob@www.example.com:443/p/' || (doc_id % 100)
     END AS url
   FROM documents
@@ -475,7 +475,7 @@ WITH urls AS (
                         THEN regexp_replace(pathq, '^[^?]*\?', '')
                         ELSE '' END, '&'),
       kv -> kv <> '' AND NOT regexp_matches(
-        kv, '^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid)(=.*)?$')
+        kv, '(?i)^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid)(=.*)?$')
     )) AS params
   FROM comps
 )

@@ -80,6 +80,20 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(normalize_text(col), " "), lambda t: t != F.lit(""))
 
 
+def word_grams(toks: Column, n: int) -> Column:
+    """Overlapping word n-grams (space-joined) of a token array; empty
+    when fewer than ``n`` tokens. THE sliding-window expression — shared
+    by shingling (below), the Gopher repetition filters, and strict
+    decontamination grams, so the three rules cannot drift."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingle_strings(col: Column, k: int) -> Column:
     """Distinct k-gram shingle strings of a text column.
 
@@ -89,18 +103,12 @@ def shingle_strings(col: Column, k: int) -> Column:
     ``/root/reference/lsh-qd.py:196-197``).
     """
     toks = tokens(col)
-    n = F.size(toks)
-    grams = (
-        F.when(
-            n >= k,
-            F.transform(
-                F.sequence(F.lit(0), n - k),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-            ),
-        )
-        .when(n > 0, F.array(F.concat_ws(" ", toks)))
-        .otherwise(F.array().cast("array<string>"))
-    )
+    grams = F.when(
+        F.size(toks) < k,
+        F.when(F.size(toks) > 0, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.array().cast("array<string>")
+        ),
+    ).otherwise(word_grams(toks, k))
     return F.array_distinct(grams)
 
 

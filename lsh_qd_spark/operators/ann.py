@@ -66,6 +66,10 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"),
         cosine_expr(F.col("q_emb"), F.col(emb_col)).alias("cosine"),
     )
+    # a zero-norm embedding (dead row) divides by zero -> NULL cosine;
+    # exclude it rather than emit (rank, neighbor_id, NULL) filler rows
+    # when a candidate set is smaller than k. SQL twins filter identically.
+    scored = scored.where(F.col("cosine").isNotNull())
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -83,7 +87,15 @@ def hyperplane_coefficients(
 
 
 def make_hyperplane_udf(planes: np.ndarray, bits_per_table: int):
-    """embedding → array<long> of per-table sign-pattern bucket keys."""
+    """embedding → array<long> of per-table sign-pattern bucket keys.
+
+    Bucket-deciding dot products here (and in ``make_ivf_cells_udf``) use
+    BLAS matmul, while the DuckDB twins fold strictly left-to-right: the
+    two can disagree on sign/argmax only when a true dot sits within
+    accumulated rounding (~1e-13 relative) of 0 / of a tie — measure-zero
+    for continuous embeddings against seeded Gaussian planes, accepted in
+    exchange for vectorized assignment. (The OUTPUT cosine column, which
+    is hash-compared, uses the sequential fold on both sides.)"""
     planes = np.ascontiguousarray(planes, dtype=np.float64)
     n_tables = planes.shape[0] // bits_per_table
     weights = (1 << np.arange(bits_per_table, dtype=np.int64))
@@ -186,6 +198,10 @@ def ivf_topk(
             cosine_expr(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
         )
     )
+    # a zero-norm embedding (dead row) divides by zero -> NULL cosine;
+    # exclude it rather than emit (rank, neighbor_id, NULL) filler rows
+    # when a candidate set is smaller than k. SQL twins filter identically.
+    scored = scored.where(F.col("cosine").isNotNull())
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -249,6 +265,10 @@ def lsh_topk(
             cosine_expr(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
         )
     )
+    # a zero-norm embedding (dead row) divides by zero -> NULL cosine;
+    # exclude it rather than emit (rank, neighbor_id, NULL) filler rows
+    # when a candidate set is smaller than k. SQL twins filter identically.
+    scored = scored.where(F.col("cosine").isNotNull())
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

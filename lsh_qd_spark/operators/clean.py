@@ -56,10 +56,14 @@ def remove_boilerplate(
     id_col: str = "doc_id",
     broadcast_flagged: bool = True,
 ) -> DataFrame:
-    """(doc_id, text, removed_segments): corpus with boilerplate windows
-    removed. ``text`` is rebuilt from surviving windows plus the
-    sub-window tail; documents shorter than ``seg_len`` tokens pass
-    through untouched (normalized)."""
+    """(<input columns, text rebuilt>, removed_segments): corpus with
+    boilerplate windows removed. ``text_col`` is rebuilt from surviving
+    windows plus the sub-window tail; documents shorter than ``seg_len``
+    tokens pass through untouched (normalized). All other input columns
+    pass through untouched (the sibling-operator convention —
+    redact_docs/remove_repetitive/latest_snapshot); a pre-existing
+    ``removed_segments`` audit column from an earlier pass is replaced,
+    not duplicated."""
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     n = F.size(toks)
     n_seg = F.floor(n / seg_len).cast("int")
@@ -67,24 +71,39 @@ def remove_boilerplate(
     tail = F.concat_ws(
         " ", F.slice(toks, n_seg * seg_len + 1, F.lit(2_000_000_000))
     )
+    # "_bp_id" (not the raw id name): passthrough may itself contain a
+    # column called "doc_id" when id_col is something else
+    passthrough = [
+        c
+        for c in docs.columns
+        if c not in (id_col, text_col, "removed_segments")
+    ]
     base = docs.select(
-        F.col(id_col).alias("doc_id"),
+        F.col(id_col).alias("_bp_id"),
         segs.alias("_segs"),
         tail.alias("_tail"),
+        *passthrough,
     )
+    # eager localCheckpoint: ``base`` has THREE consumers in one action
+    # (flagged-aggregation and kept-anti-join via ``exploded``, plus the
+    # final rebuild join) — without it the full-corpus tokenize+segment
+    # projection runs three times (the multi-consumer re-execution
+    # pairs.py/pipeline.py checkpoint against). Blocks are
+    # reference-tracked (freed with the plan).
+    base = base.localCheckpoint(eager=True)
     exploded = base.select(
-        "doc_id", F.posexplode("_segs").alias("pos", "seg")
+        "_bp_id", F.posexplode("_segs").alias("pos", "seg")
     )
     flagged = (
         exploded.groupBy("seg")
-        .agg(F.countDistinct("doc_id").alias("seg_df"))
+        .agg(F.countDistinct("_bp_id").alias("seg_df"))
         .where(F.col("seg_df") >= df_threshold)
         .select("seg")
     )
     if broadcast_flagged:
         flagged = F.broadcast(flagged)
     kept = exploded.join(flagged, "seg", "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
+    rebuilt = kept.groupBy("_bp_id").agg(
         F.concat_ws(
             " ",
             F.transform(
@@ -97,9 +116,9 @@ def remove_boilerplate(
         F.count("*").alias("_n_kept"),
     )
     out = (
-        base.join(rebuilt, "doc_id", "left")
+        base.join(rebuilt, "_bp_id", "left")
         .select(
-            "doc_id",
+            F.col("_bp_id").alias(id_col),
             F.trim(
                 F.concat_ws(
                     " ", F.coalesce("_kept_text", F.lit("")), F.col("_tail")
@@ -108,6 +127,7 @@ def remove_boilerplate(
             (
                 F.size("_segs") - F.coalesce("_n_kept", F.lit(0))
             ).cast("long").alias("removed_segments"),
+            *passthrough,
         )
     )
     return out

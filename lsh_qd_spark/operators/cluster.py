@@ -17,19 +17,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _driver_union_find(edges_pdf, vert_ids) -> "object":
+def _driver_union_find(edges_pdf) -> "object":
     """Vectorized NumPy connected components for in-driver edge sets:
     hash-min label propagation with pointer jumping — O(E) NumPy work per
-    pass, O(log n) passes. No Python-level per-edge loop."""
+    pass, O(log n) passes. No Python-level per-edge loop.
+
+    Id-type generic: ids stay in their native dtype (int64, string/object,
+    …) — labels are positional indices into the sorted unique-id array, so
+    "min index == min id" holds for any orderable dtype. For strings,
+    NumPy's code-point order agrees with Spark's UTF-8 binary order (UTF-8
+    preserves code-point order), so driver and distributed labels match."""
     import numpy as np
     import pandas as pd
 
-    src = edges_pdf["src"].to_numpy(dtype=np.int64)
-    dst = edges_pdf["dst"].to_numpy(dtype=np.int64)
-    parts = [src, dst]
-    if vert_ids is not None:
-        parts.append(np.asarray(vert_ids, dtype=np.int64))
-    ids = np.unique(np.concatenate(parts))
+    src = edges_pdf["src"].to_numpy()
+    dst = edges_pdf["dst"].to_numpy()
+    ids = np.unique(np.concatenate([src, dst]))
     si = np.searchsorted(ids, src)
     di = np.searchsorted(ids, dst)
     labels = np.arange(len(ids), dtype=np.int64)
@@ -74,7 +77,10 @@ def connected_components(
     if driver_edge_threshold > 0:
         n_edges = edges.count()
         if n_edges <= driver_edge_threshold:
+            from pyspark.sql.types import StructField, StructType
+
             spark = edges.sparkSession
+            id_type = edges.schema[id_a].dataType
             pdf = edges.select(
                 F.col(id_a).alias("src"), F.col(id_b).alias("dst")
             ).toPandas()
@@ -84,15 +90,28 @@ def connected_components(
             # exactly the vertices absent from the edge labels, appended
             # distributively below with label = own id.
             if len(pdf) == 0:
-                lab = spark.createDataFrame([], "doc_id long, cluster_id long")
+                lab = spark.createDataFrame(
+                    [],
+                    StructType(
+                        [
+                            StructField("doc_id", id_type),
+                            StructField("cluster_id", id_type),
+                        ]
+                    ),
+                )
             else:
-                lab = spark.createDataFrame(_driver_union_find(pdf, None))
+                # cast back to the INPUT id type: pandas round-trips int
+                # ids to int64/long and the union below must not coerce
+                lab = spark.createDataFrame(_driver_union_find(pdf)).select(
+                    F.col("doc_id").cast(id_type),
+                    F.col("cluster_id").cast(id_type),
+                )
             if vertices is None:
                 return lab
             singles = (
                 vertices.select("doc_id")
                 .join(F.broadcast(lab.select("doc_id")), "doc_id", "left_anti")
-                .withColumn("cluster_id", F.col("doc_id").cast("long"))
+                .withColumn("cluster_id", F.col("doc_id").cast(id_type))
             )
             return lab.unionByName(singles)
     sym = (

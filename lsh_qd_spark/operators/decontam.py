@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lsh_qd_spark.functions.text import tokens
+from lsh_qd_spark.functions.text import tokens, word_grams
 
 
 def _strict_gram_strings(col, k: int):
@@ -44,16 +44,7 @@ def _strict_gram_strings(col, k: int):
     ever match a whole-document-identical train doc (its full-text gram
     never equals any 13-gram), and a sub-k train doc would get flagged on
     far less than k tokens of evidence."""
-    toks = tokens(col)
-    n = F.size(toks)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    return F.array_distinct(word_grams(tokens(col), k))
 
 
 def _grams(

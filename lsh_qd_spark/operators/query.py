@@ -60,6 +60,8 @@ def query_text_neighbors(
     (query_id, doc_id, n_bands[, jaccard]). Queries and corpus are hashed
     with the same seed/coefficients, so bucket equality semantics match the
     reference's shared hash functions."""
+    from lsh_qd_spark.config import VERIFY_BROADCAST_IDS_CAP
+
     cfg = config or DedupConfig()
     pipe = DedupPipeline(cfg)
     cb = pipe.buckets(pipe.signatures_from_text(corpus_docs))
@@ -67,13 +69,25 @@ def query_text_neighbors(
     out = query_neighbors(cb, qb, alpha=alpha)
     if jaccard_threshold is None:
         return out
+    # eager localCheckpoint: the jaccard branch consumes ``out`` twice
+    # (candidate-id semi-join + final join) — without it one action runs
+    # the full signatures→buckets→join→groupBy pipeline over corpus AND
+    # queries twice (the same double-execution shape pairs.py checkpoints
+    # against). Blocks are reference-tracked (freed with the plan).
+    out = out.localCheckpoint(eager=True)
+    cand_ids = out.select("doc_id").distinct()
+    # bound the broadcast the same way verify.py does: a hot bucket
+    # colliding with a query can return a large fraction of the corpus —
+    # broadcasting an unbounded id set OOMs the driver. Counting is cheap
+    # post-checkpoint; over the cap, fall back to a plain (shuffled)
+    # semi-join instead of truncating.
+    if cand_ids.count() <= VERIFY_BROADCAST_IDS_CAP:
+        cand_ids = F.broadcast(cand_ids)
+    csh = pipe.shingle(
+        corpus_docs.join(cand_ids, "doc_id", "left_semi")
+    )
     qsh = pipe.shingle(query_docs).select(
         F.col("doc_id").alias("query_id"), F.col("shingles").alias("q_sh")
-    )
-    csh = pipe.shingle(
-        corpus_docs.join(
-            F.broadcast(out.select("doc_id").distinct()), "doc_id", "left_semi"
-        )
     )
     from lsh_qd_spark.operators.verify import jaccard_expr
 

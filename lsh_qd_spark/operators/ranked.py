@@ -71,6 +71,15 @@ def ranked_neighbors_tiered(
     under its own (rows_per_band, num_bands) banding over a shared flat
     signature (len ≥ max k*l). ``n_bands`` counts collisions within that
     tier's banding."""
+    if len(tiers) > 1:
+        # each tier builds an independent banding plan over the same
+        # signature DataFrame: without truncation one action re-executes
+        # the (expensive, kernel-backed) signature lineage once per tier
+        # per side. Eager localCheckpoint materializes signatures ONCE —
+        # this is what makes tiered_buckets' "without re-hashing" true of
+        # EXECUTION, not just of the plan definition.
+        corpus_sigs = corpus_sigs.localCheckpoint(eager=True)
+        query_sigs = query_sigs.localCheckpoint(eager=True)
     cb = tiered_buckets(corpus_sigs, tiers, key_mode)
     qb = tiered_buckets(query_sigs, tiers, key_mode)
     outs = [

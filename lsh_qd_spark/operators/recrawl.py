@@ -39,7 +39,11 @@ from pyspark.sql import functions as F
 # frequently a resource-identifying key (forums, PHP apps, e-commerce),
 # so stripping it would silently collapse distinct pages into one
 # canonical URL and drop them before dedup ever sees them.
-TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid)(=.*)?$"
+# (?i): tracking tooling emits these names in any case (UTM_SOURCE=,
+# Gclid=) — the NAME match must be case-insensitive or the spellings
+# defeat the collapse; param VALUES stay untouched (the filter only
+# decides keep-vs-drop, it never rewrites the kv string)
+TRACKING_PARAM_RE = r"(?i)^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid)(=.*)?$"
 
 
 def canonical_url(url: Column) -> Column:

@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from lsh_qd_spark.functions.text import tokens
+from lsh_qd_spark.functions.text import tokens, word_grams
 
 # Gopher appendix A1.1 thresholds (drop a document when the feature
 # EXCEEDS the bound). Keys match repetition_features output columns.
@@ -76,16 +76,9 @@ def _char_sum(arr: Column) -> Column:
     )
 
 
-def _word_grams(toks: Column, n: int) -> Column:
-    """Overlapping word n-grams (space-joined); empty when fewer than
-    ``n`` tokens — a short doc has no n-gram to repeat."""
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+# shared sliding-window n-gram expression (functions/text.py) — a short
+# doc (< n tokens) has no n-gram to repeat
+_word_grams = word_grams
 
 
 def _top_gram_chars(grams: Column) -> Column:

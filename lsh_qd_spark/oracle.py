@@ -814,6 +814,9 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         _cosine_expr(F.col("q_emb"), F.col("embedding")).alias("cosine"),
     )
+    # zero-norm embeddings yield NULL cosine (divide by zero): exclude,
+    # matching the production operators in operators/ann.py and the twin
+    scored = scored.where(F.col("cosine").isNotNull())
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
@@ -834,7 +837,7 @@ scored AS (
 ranked AS (
   SELECT query_id, neighbor_id, cosine,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
-  FROM scored
+  FROM scored WHERE cosine IS NOT NULL
 )
 SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {ANN_TOP_K}
 """

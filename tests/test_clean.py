@@ -91,3 +91,32 @@ def test_agrees_with_oracle_accounting(spark, tmp_path):
     # the synth boiler cluster is byte-identical across >= SEG_BOILER_DF
     # docs, so its full windows must have been removed
     assert sum(acct.values()) > 0
+
+
+def test_passthrough_columns_preserved(spark):
+    """All non-text input columns survive (sibling-operator convention):
+    url/lang ride through, the id keeps its ORIGINAL name, a pre-existing
+    removed_segments from an earlier pass is replaced (not duplicated),
+    and a passthrough column literally named doc_id does not collide with
+    a differently-named id column."""
+    footer = " ".join(f"foot{i}" for i in range(10))
+    rows = [
+        (d, f"{footer} u{d}", f"https://e.com/{d}", "en", 99, d * 100)
+        for d in range(4)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "page_id long, text string, url string, lang string, "
+        "removed_segments long, doc_id long",
+    )
+    out = remove_boilerplate(docs, seg_len=10, df_threshold=3, id_col="page_id")
+    assert sorted(out.columns) == sorted(
+        ["page_id", "text", "removed_segments", "url", "lang", "doc_id"]
+    )
+    got = {r["page_id"]: r for r in out.collect()}
+    for d in range(4):
+        assert got[d]["url"] == f"https://e.com/{d}"
+        assert got[d]["lang"] == "en"
+        assert got[d]["doc_id"] == d * 100  # passthrough, not the id
+        assert got[d]["removed_segments"] == 1  # replaced, not the old 99
+        assert got[d]["text"] == f"u{d}"

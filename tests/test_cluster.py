@@ -121,3 +121,37 @@ def test_cc_driver_path_vertices_stay_distributed(spark, random_graph):
     # singleton branch shows up as a join, so the result is a real
     # distributed plan, not a LocalTableScan of 450 pre-collected rows
     assert "Join" in driver._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cc_string_ids_both_paths(spark):
+    """Non-integer doc ids (url-keyed corpora) work on BOTH paths with
+    identical labels and the INPUT id type preserved — the driver fast
+    path must not coerce to int64 (it used to crash on strings) and the
+    singleton/empty schemas must match the edge id type."""
+    edges = [
+        ("url-b", "url-a"),
+        ("url-c", "url-b"),
+        ("url-e", "url-d"),
+    ]
+    edges_df = spark.createDataFrame(edges, "id_a string, id_b string")
+    verts = spark.createDataFrame(
+        [(f"url-{c}",) for c in "abcdefg"], "doc_id string"
+    )
+    truth = _truth(edges, verts=[f"url-{c}" for c in "abcdefg"])
+    for threshold in (2_000_000, 0):
+        got_df = connected_components(
+            edges_df, vertices=verts, driver_edge_threshold=threshold
+        )
+        assert [f.dataType.simpleString() for f in got_df.schema.fields] == [
+            "string",
+            "string",
+        ]
+        got = {r["doc_id"]: r["cluster_id"] for r in got_df.collect()}
+        assert got == truth
+    # empty edge set with string schema: empty-frame branch keeps the type
+    empty = spark.createDataFrame([], "id_a string, id_b string")
+    out = connected_components(empty, vertices=verts)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    assert {r["doc_id"]: r["cluster_id"] for r in out.collect()} == {
+        f"url-{c}": f"url-{c}" for c in "abcdefg"
+    }

@@ -25,6 +25,10 @@ CANON_CASES = [
     ("https://a.com:8443/x", "https://a.com:8443/x"),
     # tracking params dropped, real params kept and sorted
     ("https://a.com/x?utm_source=tw&id=3", "https://a.com/x?id=3"),
+    # tracking-param NAMES match case-insensitively (ad/mail tooling
+    # emits UTM_SOURCE=, Gclid=); values keep their case
+    ("https://a.com/x?UTM_SOURCE=tw&id=3", "https://a.com/x?id=3"),
+    ("https://a.com/x?Gclid=AbC&id=3", "https://a.com/x?id=3"),
     ("https://a.com/x?b=2&a=1", "https://a.com/x?a=1&b=2"),
     ("https://a.com/x?gclid=abc", "https://a.com/x"),
     ("https://a.com/x?fbclid=1&a=2", "https://a.com/x?a=2"),
