@@ -134,10 +134,20 @@ def is_path_ref(ref: str) -> bool:
     return "/" in ref or ref.endswith(".parquet")
 
 
-def read_table(spark: SparkSession, ref: str, format: str = "parquet") -> DataFrame:
-    """Read an input table by catalog identifier or file path."""
+def read_table(
+    spark: SparkSession,
+    ref: str,
+    format: str = "parquet",
+    options: dict | None = None,
+) -> DataFrame:
+    """Read an input table by catalog identifier or file path. ``options``
+    (e.g. ``{"mergeSchema": "true"}``) apply only to path reads — catalog
+    tables carry their own schema."""
     if is_path_ref(ref):
-        return spark.read.format(format).load(ref)
+        reader = spark.read.format(format)
+        if options:
+            reader = reader.options(**options)
+        return reader.load(ref)
     return spark.table(ref)
 
 

@@ -74,6 +74,39 @@ def bucket_members(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
     ).drop("members_all")
 
 
+def counted_plus_stars(counted: DataFrame, star_pairs: DataFrame) -> DataFrame:
+    """Union alpha-counted pairs with mega-bucket star edges under the
+    consumer contract (see candidate_pairs): a pair that is BOTH counted
+    (small buckets) and starred (a mega bucket in another band) keeps only
+    the counted row; surviving star rows carry sentinel ``n_bands=0`` and
+    ``via_star=True``. THE tail shared by every pair producer (both
+    candidate_pairs branches, streaming facade, stateful read side) so the
+    contract cannot drift between them.
+
+    ``counted`` carries (id_a, id_b, n_bands) with the alpha cut already
+    applied; ``star_pairs`` is the distinct (id_a, id_b) star edges.
+    ``counted`` is eagerly localCheckpointed: it feeds the union AND the
+    anti-join, and column pruning canonicalizes the two subplans
+    differently so exchange reuse does NOT kick in — without
+    materialization the whole upstream chain executes twice (measured: 2x
+    the pairs task time at 300k pages). Blocks are reference-tracked, and
+    the checkpointed set is small (post-alpha pairs, not bucket rows)."""
+    counted = counted.withColumn("via_star", F.lit(False)).localCheckpoint(
+        eager=True
+    )
+    stars = (
+        star_pairs.select("id_a", "id_b")
+        .join(counted.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+        .select(
+            "id_a",
+            "id_b",
+            F.lit(0).cast("long").alias("n_bands"),
+            F.lit(True).alias("via_star"),
+        )
+    )
+    return counted.unionByName(stars)
+
+
 def candidate_pairs(
     buckets: DataFrame,
     alpha: int = 1,
@@ -187,24 +220,10 @@ def candidate_pairs(
             small_pairs.groupBy("id_a", "id_b")
             .agg(F.count("*").alias("n_bands"))
             .where(F.col("n_bands") >= alpha)
-            .withColumn("via_star", F.lit(False))
         )
         if large_pairs is None:
-            return counted
-        # `counted` appears twice below (union left branch + the star
-        # anti-join's right side); column pruning canonicalizes the two
-        # subplans differently, so exchange reuse does NOT kick in and the
-        # whole members-shuffle → pair-agg chain executes twice (measured:
-        # 2x the pairs task time at 300k pages). Eager localCheckpoint
-        # materializes it once — blocks are reference-tracked, and the
-        # checkpointed set is small (post-alpha pairs, not bucket rows).
-        counted = counted.localCheckpoint(eager=True)
-        stars = large_pairs.join(
-            counted.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
-        ).select(
-            "id_a", "id_b", F.lit(0).alias("n_bands"), F.lit(True).alias("via_star")
-        )
-        return counted.unionByName(stars)
+            return counted.withColumn("via_star", F.lit(False))
+        return counted_plus_stars(counted, large_pairs)
     else:
         grouped = bucket_members(buckets, max_bucket_size)
         small_pairs = (
@@ -228,13 +247,5 @@ def candidate_pairs(
         small_pairs.groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_bands"))
         .where(F.col("n_bands") >= alpha)
-        .withColumn("via_star", F.lit(False))
     )
-    # same double-execution hazard as the two-phase branch above
-    counted = counted.localCheckpoint(eager=True)
-    stars = large_pairs.join(
-        counted.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
-    ).select(
-        "id_a", "id_b", F.lit(0).alias("n_bands"), F.lit(True).alias("via_star")
-    )
-    return counted.unionByName(stars)
+    return counted_plus_stars(counted, large_pairs)

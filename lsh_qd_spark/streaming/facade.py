@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from lsh_qd_spark.config import DedupConfig
 from lsh_qd_spark.operators.cluster import connected_components
+from lsh_qd_spark.operators.pairs import counted_plus_stars
 from lsh_qd_spark.operators.verify import verify_pairs_text
 from lsh_qd_spark.streaming.incremental import IncrementalDedup
 from lsh_qd_spark.streaming.stateful import StatefulDedup
@@ -68,10 +69,8 @@ class StreamDedup:
         source_dir: str,
         max_files_per_trigger: int = 4,
     ):
-        if self.mode == "incremental":
-            return self._impl.start(
-                spark, source_dir, maxFilesPerTrigger=max_files_per_trigger
-            )
+        # both impls accept the same spelling now — one delegation line,
+        # no per-mode kwarg translation to drift
         return self._impl.start(
             spark, source_dir, max_files_per_trigger=max_files_per_trigger
         )
@@ -98,27 +97,11 @@ class StreamDedup:
             canon.where(~F.col("via_star"))
             .groupBy("id_a", "id_b")
             .agg(F.max("n_bands").alias("n_bands"))
-            .withColumn("via_star", F.lit(False))
         )
         # mega-bucket star hits keep the sentinel n_bands=0 and yield to a
-        # counted row for the same pair (consumer contract,
-        # operators/pairs.candidate_pairs). Eager checkpoint: counted feeds
-        # the union AND the anti-join — same double-execution hazard as the
-        # batch path.
-        counted = counted.localCheckpoint(eager=True)
-        stars = (
-            canon.where(F.col("via_star"))
-            .select("id_a", "id_b")
-            .distinct()
-            .join(counted.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
-            .select(
-                "id_a",
-                "id_b",
-                F.lit(0).cast("long").alias("n_bands"),
-                F.lit(True).alias("via_star"),
-            )
-        )
-        return counted.unionByName(stars)
+        # counted row for the same pair — the shared consumer-contract tail
+        stars = canon.where(F.col("via_star")).select("id_a", "id_b").distinct()
+        return counted_plus_stars(counted, stars)
 
     def verified_pairs(
         self,
@@ -158,8 +141,15 @@ class StreamDedup:
         id_col: str = "doc_id",
     ) -> DataFrame:
         """(doc_id, cluster_id) duplicate clusters over the verified graph."""
+        # eager checkpoint: connected_components consumes its edges twice
+        # (the count deciding driver-vs-distributed, then the collect or
+        # sym-union) — on a lazy plan each consumer re-runs the Jaccard-
+        # verify kernel over every candidate text. The batch CLI
+        # materializes verified output for the same reason.
         return connected_components(
-            self.verified_pairs(spark, docs, text_col, id_col)
+            self.verified_pairs(spark, docs, text_col, id_col).localCheckpoint(
+                eager=True
+            )
         )
 
 
@@ -177,22 +167,24 @@ def save_progress(query, work_dir: str) -> str:
     batchId: call it after each ``awaitTermination`` and a long backfill's
     full history accumulates instead of silently truncating to the tail."""
     import json
-    import os
 
-    out_dir = os.path.join(work_dir, "metrics")
-    os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, "query_progress.json")
+    from lsh_qd_spark.io import _join_ref, _read_text, _write_text, path_exists
+
+    # URI-safe IO throughout: a remote work_dir (hdfs://, s3a://) handled
+    # with driver-local os.path would create a junk LOCAL "s3a:/..."
+    # directory, "succeed", and lose the telemetry when the driver
+    # container exits — the exact hazard IncrementalDedup's own metrics
+    # writer documents and avoids.
+    path = _join_ref(_join_ref(work_dir, "metrics"), "query_progress.json")
     by_batch: dict = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            by_batch = {p["batchId"]: p for p in json.load(f)}
+    if path_exists(path):
+        by_batch = {p["batchId"]: p for p in json.loads(_read_text(path))}
     for p in query.recentProgress:
         d = json.loads(p.json)
         by_batch[d["batchId"]] = d
-    with open(path, "w") as f:
-        json.dump(
-            [by_batch[k] for k in sorted(by_batch)], f, indent=2
-        )
+    _write_text(
+        path, json.dumps([by_batch[k] for k in sorted(by_batch)], indent=2)
+    )
     return path
 
 

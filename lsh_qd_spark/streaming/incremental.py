@@ -96,7 +96,10 @@ class IncrementalDedup:
 
         # a resumed stream joining new-kernel band keys against an index
         # persisted by an older kernel/config would detect zero duplicates
-        # with no error — fail loudly before touching the sinks
+        # with no error — fail loudly before touching the sinks.
+        # (one listing per batch: _process_batch_inner reuses this instead
+        # of issuing a second remote listStatus)
+        index_exists = self._index_exists()
         check_compat_meta(
             self.index_dir,
             self.config.key_hash(),
@@ -105,7 +108,17 @@ class IncrementalDedup:
             # this is a WRITE path: appending into an existing unmarked
             # index would mix band-key generations, then stamp the mix
             # as current below — require the marker when data exists
-            require_marker=self._index_exists(),
+            require_marker=index_exists,
+        )
+        # marker BEFORE data (not after the index write): a crash between
+        # the first epoch's data commit and a late marker write would brick
+        # resume forever — the replay's require_marker check would raise on
+        # data this very kernel just wrote. A marker without data is
+        # harmless and passes every later check.
+        write_compat_meta(
+            self.index_dir,
+            self.config.key_hash(),
+            layout={"n_shards": self.n_shards},
         )
         spark = batch_df.sparkSession
         buckets = (
@@ -115,7 +128,7 @@ class IncrementalDedup:
             .persist()
         )
         try:
-            self._process_batch_inner(spark, buckets, epoch_id)
+            self._process_batch_inner(spark, buckets, epoch_id, index_exists)
         finally:
             # unpersist on EVERY exit: a sink/metrics failure mid-batch
             # followed by Structured Streaming's replay would otherwise
@@ -123,10 +136,12 @@ class IncrementalDedup:
             buckets.unpersist()
 
     def _process_batch_inner(
-        self, spark: SparkSession, buckets: DataFrame, epoch_id: int
+        self,
+        spark: SparkSession,
+        buckets: DataFrame,
+        epoch_id: int,
+        index_exists: bool,
     ) -> None:
-        from lsh_qd_spark.io import write_compat_meta
-
         keys = ["shard", "band_idx", "band_key"]
         # Build side: accumulated index (minus this epoch — replay safety)
         # pruned to the batch's shards, UNION the batch's own buckets so
@@ -139,7 +154,7 @@ class IncrementalDedup:
             F.col("doc_id").alias("existing_doc"),
             F.lit(False).alias("from_index"),
         )
-        if self._index_exists():
+        if index_exists:
             # BOUNDED driver collect: `shard` is pmod(hash, n_shards), so
             # this distinct() returns AT MOST n_shards rows regardless of
             # corpus or batch size — same loud-bound contract as the
@@ -166,10 +181,19 @@ class IncrementalDedup:
             # touches it: only matching keys can produce hits, and the
             # bucket-size aggregation below must not pay for every bucket in
             # the matching shards. Broadcast fits the streaming regime
-            # (micro-batches small vs the index) — the same assumption the
-            # equi-join itself makes.
-            batch_keys = probe.select(*keys).distinct()
-            index = index.join(F.broadcast(batch_keys), keys, "left_semi")
+            # (micro-batches small vs the index) — but maxFilesPerTrigger
+            # bounds FILES, not rows: a backfill with GB-sized source files
+            # yields millions of docs × num_bands distinct keys, and a
+            # forced broadcast (hint bypasses autoBroadcastJoinThreshold)
+            # would OOM the driver. Same counted-cap + shuffle-fallback
+            # contract as the big-key path in operators/pairs.py; the
+            # count is cheap (buckets is persisted).
+            batch_keys = probe.select(*keys).distinct().localCheckpoint(
+                eager=True
+            )
+            if batch_keys.count() <= BIG_KEY_BROADCAST_CAP:
+                batch_keys = F.broadcast(batch_keys)
+            index = index.join(batch_keys, keys, "left_semi")
             build = index.unionByName(build)
         # Mega-bucket cap (batch-path parity, operators/pairs.py): a
         # boilerplate bucket accumulated over the stream would make the
@@ -262,11 +286,6 @@ class IncrementalDedup:
         write_stage(
             buckets, self.index_dir, "dynamic_overwrite", ["epoch", "shard"]
         )
-        write_compat_meta(
-            self.index_dir,
-            self.config.key_hash(),
-            layout={"n_shards": self.n_shards},
-        )
         if self.record_metrics:
             # Per-epoch lineage + metrics (north rule): per-shard bucket-row
             # counts (the index partitions this epoch wrote) + hit count.
@@ -305,12 +324,20 @@ class IncrementalDedup:
                 spark,
             )
 
-    def start(self, spark: SparkSession, source_dir: str, **read_options):
+    def start(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        max_files_per_trigger: int = 4,
+        **read_options,
+    ):
         """Stream pages from a directory source (swap for kafka in prod).
         Extra ``read_options`` (pathGlobFilter, latestFirst, ...) are all
-        forwarded to the stream reader."""
+        forwarded to the stream reader. ``maxFilesPerTrigger`` passed via
+        read_options wins over the named param (back-compat)."""
         reader = spark.readStream.schema(PAGES_STREAM_SCHEMA).option(
-            "maxFilesPerTrigger", read_options.pop("maxFilesPerTrigger", 4)
+            "maxFilesPerTrigger",
+            read_options.pop("maxFilesPerTrigger", max_files_per_trigger),
         )
         for k, v in read_options.items():
             reader = reader.option(k, v)
@@ -329,13 +356,27 @@ class IncrementalDedup:
             return spark.createDataFrame([], HITS_SCHEMA)
         # partition-column inference types epoch=N directories as int32;
         # cast back to the declared HITS_SCHEMA type so the populated and
-        # empty paths return identical schemas
-        out = read_stage(spark, self.hits_dir).withColumn(
-            "epoch", F.col("epoch").cast("long")
-        )
-        # sinks written before the mega-bucket cap existed lack via_star
+        # empty paths return identical schemas.
+        # mergeSchema: a MIXED sink (pre-via_star epochs continued by new
+        # code) must surface via_star for the new epochs while decoding
+        # legacy rows as NULL — without it the sampled footer decides which
+        # generation's schema wins and the other generation's column
+        # silently vanishes
+        out = read_stage(
+            spark, self.hits_dir, options={"mergeSchema": "true"}
+        ).withColumn("epoch", F.col("epoch").cast("long"))
         if "via_star" not in out.columns:
+            # all-legacy sink (written before the mega-bucket cap existed)
             out = out.withColumn("via_star", F.lit(False))
+        else:
+            # mixed sink: legacy epochs decode via_star as NULL, and the
+            # facade's where(~via_star)/where(via_star) split would drop
+            # those rows entirely (NULL is neither) — every pre-upgrade
+            # duplicate would vanish with no error. Legacy rows predate
+            # star edges, so False is exact, not a guess.
+            out = out.withColumn(
+                "via_star", F.coalesce(F.col("via_star"), F.lit(False))
+            )
         return out.select(
             "new_doc", "existing_doc", "n_bands", "via_star", "epoch"
         )

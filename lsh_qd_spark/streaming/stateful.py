@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from lsh_qd_spark.config import DedupConfig
+from lsh_qd_spark.operators.pairs import counted_plus_stars
 from lsh_qd_spark.plans.pipeline import DedupPipeline
 
 COLLISION_SCHEMA = "id_a long, id_b long, band_idx int, via_star boolean"
@@ -128,8 +129,28 @@ class StatefulDedup:
         )
 
     def start(self, spark, source_dir: str, max_files_per_trigger: int = 1):
+        from lsh_qd_spark.io import (
+            check_compat_meta,
+            list_child_names,
+            write_compat_meta,
+        )
         from lsh_qd_spark.streaming.incremental import PAGES_STREAM_SCHEMA
 
+        # State-store bucket membership is keyed by kernel-derived band
+        # keys: resuming a checkpointed stream after a KERNEL_VERSION or
+        # config change would probe new-generation keys against
+        # old-generation state — zero duplicates against every pre-upgrade
+        # document, silently. Same loud guard as the incremental index;
+        # require the marker whenever checkpointed state already exists.
+        check_compat_meta(
+            self.work_dir,
+            self.config.key_hash(),
+            what="stateful stream state",
+            require_marker=bool(list_child_names(self.checkpoint_dir)),
+        )
+        # marker BEFORE the query starts (a marker without state is
+        # harmless; state without a marker bricks resume)
+        write_compat_meta(self.work_dir, self.config.key_hash())
         stream = (
             spark.readStream.schema(PAGES_STREAM_SCHEMA)
             .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -170,23 +191,8 @@ class StatefulDedup:
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("n_bands"))
             .where(F.col("n_bands") >= self.config.alpha)
-            .withColumn("via_star", F.lit(False))
         )
-        # counted feeds the union AND the star anti-join below; without
-        # materialization the whole collision scan → per-band dedup →
-        # aggregation chain executes twice (the measured double-execution
-        # hazard operators/pairs.py documents and fixes the same way)
-        counted = counted.localCheckpoint(eager=True)
-        stars = (
-            col.where(F.col("via_star"))
-            .select("id_a", "id_b")
-            .distinct()
-            .join(counted.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
-            .select(
-                "id_a",
-                "id_b",
-                F.lit(0).alias("n_bands"),
-                F.lit(True).alias("via_star"),
-            )
-        )
-        return counted.unionByName(stars)
+        stars = col.where(F.col("via_star")).select("id_a", "id_b").distinct()
+        # shared consumer-contract tail (checkpointed once, stars yield to
+        # counted rows) — operators/pairs.counted_plus_stars
+        return counted_plus_stars(counted, stars)

@@ -105,3 +105,37 @@ def test_pairs_before_any_batch_is_empty(spark, tmp_path):
     out = sd.pairs(spark)
     assert out.count() == 0
     assert set(out.columns) == {"id_a", "id_b", "n_bands", "via_star"}
+
+
+def test_stateful_kernel_change_fails_loudly(spark, tmp_path):
+    """Resuming a checkpointed stateful stream under a different
+    kernel/config must raise, not silently probe new band keys against
+    old state (zero duplicates vs every pre-upgrade doc) — the same
+    guard the incremental index has."""
+    import pytest
+
+    work = str(tmp_path / "work")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(0, "some page text here for the stream")],
+        "doc_id long, text string",
+    ).selectExpr(
+        "doc_id",
+        "cast(null as string) url",
+        "cast(null as timestamp) warc_ts",
+        "cast(null as binary) html",
+        "text",
+        "cast(null as string) lang",
+    ).coalesce(1).write.parquet(src)
+
+    cfg = DedupConfig(rows_per_band=2, num_bands=8, alpha=1)
+    sd = StatefulDedup(cfg, work)
+    sd.start(spark, src).awaitTermination(120)
+
+    # same config resumes fine
+    StatefulDedup(cfg, work).start(spark, src).awaitTermination(120)
+
+    # different banding = different band-key generation -> loud failure
+    other = DedupConfig(rows_per_band=4, num_bands=4, alpha=1)
+    with pytest.raises(RuntimeError, match="kernel|config|compat"):
+        StatefulDedup(other, work).start(spark, src)

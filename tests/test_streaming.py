@@ -262,3 +262,78 @@ def test_start_forwards_reader_options(spark, tmp_path):
     q2 = inc2.start(spark, src + "/*")
     q2.awaitTermination(120)
     assert inc2._index_exists()
+
+
+def test_mixed_via_star_schema_keeps_legacy_hits(spark, tmp_path):
+    """A hits sink with pre-via_star epochs continued by current code must
+    surface the legacy rows with via_star=False — without mergeSchema +
+    coalesce, legacy rows decode via_star as NULL and the facade's
+    where(~via_star)/where(via_star) split drops every pre-upgrade
+    duplicate with no error."""
+    work = str(tmp_path / "work")
+    inc = IncrementalDedup(
+        DedupConfig(rows_per_band=2, num_bands=8, alpha=1), work
+    )
+    # legacy epoch: written before the mega-bucket cap (no via_star col)
+    spark.createDataFrame(
+        [(10, 3, 5)], "new_doc long, existing_doc long, n_bands long"
+    ).withColumn("epoch", F.lit(0)).write.partitionBy("epoch").parquet(
+        inc.hits_dir
+    )
+    # current epoch: full schema
+    spark.createDataFrame(
+        [(20, 4, 0, True)],
+        "new_doc long, existing_doc long, n_bands long, via_star boolean",
+    ).withColumn("epoch", F.lit(1)).write.mode("append").partitionBy(
+        "epoch"
+    ).parquet(inc.hits_dir)
+
+    rows = {r["new_doc"]: r for r in inc.hits(spark).collect()}
+    assert set(rows) == {10, 20}
+    assert rows[10]["via_star"] is False  # legacy row: coalesced, not NULL
+    assert rows[20]["via_star"] is True
+    # the facade's split must see BOTH rows (NULL would vanish from both)
+    from lsh_qd_spark.streaming.facade import stream_dedup
+
+    sd = stream_dedup(
+        DedupConfig(rows_per_band=2, num_bands=8, alpha=1), work
+    )
+    pairs = {(r["id_a"], r["id_b"]): r for r in sd.pairs(spark).collect()}
+    assert (3, 10) in pairs and pairs[(3, 10)]["n_bands"] == 5
+    assert (4, 20) in pairs and pairs[(4, 20)]["via_star"] is True
+
+
+def test_compat_marker_written_before_data(spark, tmp_path):
+    """The compat marker lands before the first index write: a crash
+    between the two (spot preemption) must not brick resume — the replay
+    would otherwise hit require_marker on data this kernel just wrote."""
+    import json
+    from unittest import mock
+
+    from lsh_qd_spark.io import write_stage as real_write_stage
+
+    work = str(tmp_path / "work")
+    cfg = DedupConfig(rows_per_band=2, num_bands=8, alpha=1)
+    inc = IncrementalDedup(cfg, work, record_metrics=False)
+    b = spark.createDataFrame(
+        [(0, "some page text here")], "doc_id long, text string"
+    )
+
+    calls = {"n": 0}
+
+    def crash_on_index_write(df, ref, mode, partition_by=None):
+        if ref == inc.index_dir:
+            raise RuntimeError("preempted mid-write")
+        return real_write_stage(df, ref, mode, partition_by)
+
+    with mock.patch(
+        "lsh_qd_spark.streaming.incremental.write_stage",
+        side_effect=crash_on_index_write,
+    ):
+        with pytest.raises(RuntimeError, match="preempted"):
+            inc.process_batch(b, 0)
+    # marker exists despite the crash -> replay resumes cleanly
+    marker = os.path.join(inc.index_dir, "_compat_meta.json")
+    assert os.path.exists(marker)
+    assert json.load(open(marker))["config_hash"] == cfg.key_hash()
+    inc.process_batch(b, 0)  # replay: must not raise
