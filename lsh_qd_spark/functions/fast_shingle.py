@@ -6,9 +6,15 @@ Why this exists: the JVM higher-order-function shingle expression
 codegen and cost ~3 ms/doc. This kernel does tokenize → k-gram → hash →
 MinHash in ONE Arrow-batched pandas UDF at ~0.1 ms/doc:
 
-- tokens: ``text.lower().split()`` (same normalization semantics as
-  functions/text.py — lowercase + any-whitespace split, deterministic per
-  byte-identical text);
+- tokens: ``text.lower().split()`` — lowercase + any-whitespace split,
+  deterministic per byte-identical text. NOT byte-identical to the JVM
+  path: functions/text.py tokenizes on Java ``\\s+`` (ASCII whitespace
+  only), while Python/Arrow split on all ~29 Unicode whitespace
+  codepoints, so e.g. ``"a\\u00a0b"`` is one token on the JVM path and
+  two here. The two hash FAMILIES already produce disjoint key spaces
+  (crc32+poly vs xxhash64-of-string), so nothing may mix grams across
+  families anyway — each family is self-consistent end-to-end (banding
+  and verify both use this kernel on the fast path);
 - token hash: zlib.crc32 (C speed, stable across processes/platforms);
 - k-gram shingle id: rolling polynomial combine of k consecutive token
   hashes in uint64 wraparound arithmetic (golden-ratio odd multiplier) —

@@ -65,7 +65,17 @@ def simhash_bits_matrix(shingle_arrays: list) -> np.ndarray:
         chunk = arrs[start:end]
         clens = lens[start:end]
         flat = np.concatenate(chunk).view(np.uint64)
-        bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+        # bit matrix in 8-bit slices: a single (shingles x 64) uint64
+        # broadcast temporary is 8B x 64 per shingle — 4x the int32
+        # matrix the budget accounts for (~512 MB transient at the cap,
+        # x task threads). Slicing bounds the uint64 temporaries to
+        # (shingles x 8) while writing straight into the budgeted int32.
+        bits = np.empty((flat.shape[0], N_BITS), dtype=np.int32)
+        for s0 in range(0, N_BITS, 8):
+            sl = shifts[s0 : s0 + 8]
+            bits[:, s0 : s0 + 8] = (flat[:, None] >> sl[None, :]) & np.uint64(
+                1
+            )
         offs = np.zeros(len(chunk), dtype=np.int64)
         np.cumsum(clens[:-1], out=offs[1:])
         ones = np.add.reduceat(bits, offs, axis=0)  # (docs, 64) count of 1s

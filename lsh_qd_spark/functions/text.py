@@ -31,14 +31,25 @@ def extract_text(html: Column) -> Column:
     (url, warc_ts, html, text, lang): ``text = extract_text(html)``.
 
     Pure JVM regexp chain (no UDF, stays in whole-stage codegen):
-    decode UTF-8 → take the <body> element → drop <script>/<style>
-    subtrees → strip remaining tags → decode the five standard HTML
-    entities. A pure function of the bytes, so re-extraction is
+    lenient UTF-8 (binary→string cast) → drop <script>/<style> subtrees →
+    take the <body> element → strip remaining tags → decode the five
+    standard HTML entities. A pure function of the bytes, so re-extraction is
     byte-identical per url across runs and parallelism levels — the
     input_hint invariant (tests/test_shingle.py pins round-trip equality
     against the synth pages table).
     """
-    s = F.decode(html, "UTF-8")
+    # cast, NOT decode: Spark 4's decode raises MALFORMED_CHARACTER_CODING
+    # on any invalid UTF-8 byte, and crawl WARCs routinely truncate mid
+    # multi-byte character (or lie about their encoding) — one bad page
+    # would abort the whole extraction job. The binary→string cast is
+    # lenient (invalid bytes → U+FFFD) and byte-identical to decode on
+    # valid UTF-8, keeping the per-url determinism invariant.
+    s = html.cast("string")
+    # script/style subtrees go FIRST, on the whole markup: a literal
+    # "<body>" inside a head script string (document.write et al.) would
+    # otherwise start the body extraction inside the head and leak script
+    # remnants into the text
+    s = F.regexp_replace(s, r"(?is)<(script|style)[^>]*>.*?</\1>", "")
     # Truncated captures without a closing </body> (routine in crawl WARCs)
     # must not drop the document: fall back to everything after <body>,
     # then to the whole markup (minus <head>) when no <body> exists at all.
@@ -48,16 +59,15 @@ def extract_text(html: Column) -> Column:
     # for both "no match" and "matched an empty body", so the extract
     # result is the FIRST branch and the disambiguating rlike (a second
     # full scan) runs only for the rare empty-'' results.
-    closed = F.regexp_extract(s, r"(?is)<body[^>]*>(.*)</body>", 1)
-    open_tail = F.regexp_extract(s, r"(?is)<body[^>]*>(.*)$", 1)
+    closed = F.regexp_extract(s, r"(?is)<body(?:\s[^>]*)?>(.*)</body>", 1)
+    open_tail = F.regexp_extract(s, r"(?is)<body(?:\s[^>]*)?>(.*)$", 1)
     body = (
         F.when(closed != "", closed)
-        .when(s.rlike(r"(?is)<body[^>]*>.*</body>"), F.lit(""))
+        .when(s.rlike(r"(?is)<body(?:\s[^>]*)?>.*</body>"), F.lit(""))
         .when(open_tail != "", open_tail)
-        .when(s.rlike(r"(?i)<body[^>]*>"), F.lit(""))
+        .when(s.rlike(r"(?i)<body(?:\s[^>]*)?>"), F.lit(""))
         .otherwise(F.regexp_replace(s, r"(?is)<head[^>]*>.*?</head>", ""))
     )
-    body = F.regexp_replace(body, r"(?is)<(script|style)[^>]*>.*?</\1>", "")
     txt = F.regexp_replace(body, r"(?s)<[^>]+>", "")
     for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
                     ("&#39;", "'"), ("&amp;", "&")]:

@@ -57,12 +57,15 @@ def mean_projected_distance(
     df: DataFrame, a_col: str, b_col: str
 ) -> float:
     """Mean pairwise distance diagnostic —
-    calculate_average_projected_distance (/root/reference/experiments.py:56-78)."""
-    return float(
-        df.select(
-            F.avg(euclidean_dist(F.col(a_col), F.col(b_col))).alias("d")
-        ).first()["d"]
-    )
+    calculate_average_projected_distance (/root/reference/experiments.py:56-78).
+
+    ``nan`` on an empty/all-NULL input (avg returns NULL; a bare
+    float(None) TypeError explains nothing — same guard as
+    min_max_normalize above)."""
+    d = df.select(
+        F.avg(euclidean_dist(F.col(a_col), F.col(b_col))).alias("d")
+    ).first()["d"]
+    return float("nan") if d is None else float(d)
 
 
 def pairwise_distance_histogram(

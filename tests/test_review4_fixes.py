@@ -190,3 +190,39 @@ def test_extract_text_edges(spark):
     }
     for i, _, want in cases:
         assert got[i] == want, (i, got[i])
+
+
+def test_extract_text_malformed_utf8_and_tag_boundary(spark):
+    """Crawl-reality edges: (a) invalid UTF-8 bytes (truncated multi-byte
+    sequences, encoding lies) must not abort the job — Spark 4's decode()
+    raises MALFORMED_CHARACTER_CODING, the lenient cast replaces; (b)
+    '<body' must match only at a tag boundary — '<body-wrapper>' or a
+    literal '<body>' inside a head script string must not start the
+    extraction inside the head."""
+    from lsh_qd_spark.functions.text import extract_text
+
+    cases = [
+        # invalid leading bytes + valid tail: text still extracted
+        (1, b"\xff\xfe<html><body>salvaged text</body></html>",
+         "salvaged text"),
+        # custom element prefix must not be taken for the body tag
+        (2, b"<html><body-wrapper>no</body-wrapper><body>yes</body></html>",
+         "yes"),
+        # '<body>' inside a head script string: extraction starts at the
+        # REAL body, not inside the script literal
+        (3, b'<html><head><script>document.write("<body>");</script>'
+            b"</head><body>real content</body></html>",
+         "real content"),
+        (4, b"<html><body class=x>attrs ok</body></html>", "attrs ok"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in cases], "doc_id long, html binary"
+    )
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", extract_text(F.col("html")).alias("t")
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i])
