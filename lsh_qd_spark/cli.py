@@ -295,9 +295,6 @@ def run_batch(spark, args) -> dict:
             # (same input + prep flags) must reuse the prepped table, not
             # replay hours of full-corpus prep shuffles and overwrite it
             # before the pipeline's own resume logic can skip anything
-            import hashlib
-            import json as _json
-
             from lsh_qd_spark.io import (
                 check_compat_meta,
                 read_stage,
@@ -306,22 +303,7 @@ def run_batch(spark, args) -> dict:
                 write_stage,
             )
 
-            prep_hash = hashlib.sha256(
-                _json.dumps(
-                    {
-                        "input": args.input,
-                        "extract_html": args.extract_html,
-                        "latest_per_url": args.latest_per_url,
-                        "clean_boilerplate": args.clean_boilerplate,
-                        "redact_pii": args.redact_pii,
-                        "drop_repetitive": args.drop_repetitive,
-                        "decontam_eval": args.decontam_eval,
-                        "text_col": args.text_col,
-                        "id_col": args.id_col,
-                    },
-                    sort_keys=True,
-                ).encode()
-            ).hexdigest()[:16]
+            prep_hash = _input_token(args)
             ref = _out_ref(args.checkpoint_dir, "prepped_pages")
             reusable = False
             if stage_exists(spark, ref):
@@ -347,6 +329,10 @@ def run_batch(spark, args) -> dict:
         text_col=args.text_col,
         id_col=args.id_col,
         include_singletons=args.include_singletons,
+        # stage manifests bind to the input+prep identity, not just the
+        # config: a resumed checkpoint_dir with a different --input or
+        # prep flag must rebuild, not replay the old corpus's stages
+        input_token=_input_token(args),
     )
     _write_results(spark, args, pages, out["verified"], out["clusters"])
     if prepped and not args.checkpoint_dir:
@@ -355,6 +341,39 @@ def run_batch(spark, args) -> dict:
         "mode": "batch",
         "stage_metrics": {k: vars(m) for k, m in pipe.metrics.items()},
     }
+
+
+def _input_token(args) -> str:
+    """Identity of the batch input: source ref + EVERY prep knob that
+    changes the prepped corpus's content. Doubles as the prepped-table
+    compat hash and as the pipeline StageStore's input_token — a resumed
+    checkpoint_dir pointed at a different input, or rerun with any
+    different prep semantics (including parameter knobs like
+    --decontam-k, not just on/off flags), rebuilds instead of silently
+    reusing stale stages."""
+    import hashlib
+    import json as _json
+
+    return hashlib.sha256(
+        _json.dumps(
+            {
+                "input": args.input,
+                "extract_html": args.extract_html,
+                "latest_per_url": args.latest_per_url,
+                "clean_boilerplate": args.clean_boilerplate,
+                "redact_pii": args.redact_pii,
+                "drop_repetitive": args.drop_repetitive,
+                "decontam_eval": args.decontam_eval,
+                "decontam_k": args.decontam_k,
+                "decontam_min_shared": args.decontam_min_shared,
+                "url_col": args.url_col,
+                "ts_col": args.ts_col,
+                "text_col": args.text_col,
+                "id_col": args.id_col,
+            },
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()[:16]
 
 
 def run_streaming(spark, args) -> dict:
@@ -376,6 +395,11 @@ def run_streaming(spark, args) -> dict:
         raise SystemExit("--drop-repetitive is batch-mode only")
     if args.decontam_eval:
         raise SystemExit("--decontam-eval is batch-mode only")
+    if args.plan_only:
+        # every other batch-only flag is rejected loudly; a silently
+        # ignored "no write" flag would run the full stream and overwrite
+        # the output tables
+        raise SystemExit("--plan-only is batch-mode only")
     if args.include_singletons:
         # silently dropping it would ship a "collapsed corpus" missing
         # every singleton the user explicitly asked to keep

@@ -405,7 +405,12 @@ def media_near_dup(
     from lsh_qd_spark.operators.ann import cosine_expr, hyperplane_coefficients, make_hyperplane_udf
     from lsh_qd_spark.operators.pairs import candidate_pairs
 
-    feats = extract_features(media, decode_fn)
+    # eager localCheckpoint: feats has THREE consumers in one action (the
+    # bucketing explode plus both sides of the verify join) — on a lazy
+    # plan the mapInPandas decode kernel re-runs per consumer and rescans
+    # the binary payload column three times; decode dominates the job
+    # with real codecs. Same discipline as pipeline._MULTI_CONSUMER_STAGES.
+    feats = extract_features(media, decode_fn).localCheckpoint(eager=True)
     udf = make_hyperplane_udf(
         hyperplane_coefficients(n_tables, bits_per_table, dim, seed),
         bits_per_table,

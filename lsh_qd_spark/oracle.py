@@ -221,7 +221,7 @@ SQL_DOC_STATS = f"""
 WITH {duck_shingles_cte(ORACLE_CFG.shingle_k)}
 SELECT d.doc_id,
        len({DUCK_TOKS.replace('text', 'd.text')}) AS n_tokens,
-       length(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS n_chars_norm,
+       length(trim(regexp_replace(lower(d.text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS n_chars_norm,
        len(sh.shingles) AS n_shingles
 FROM documents d JOIN sh ON sh.doc_id = d.doc_id
 """
@@ -869,7 +869,14 @@ WHERE {DUCK_COSINE.format(a='a.embedding', b='b.embedding')} >= {NEAR_DUP_COSINE
 # GPT-2-style pre-tokenizer pattern, lookahead-free so the SAME string is
 # valid for Java regex (Spark) and RE2 (DuckDB). Non-capturing group + an
 # explicit group index 0 on both engines (their defaults differ).
-BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# explicit whitespace class, NOT \\s: Java's \\s includes \\x0b, RE2's does
+# not — the shared-verbatim string must mean the same thing in both
+# engines or token counts silently desynchronize (the DUCK_NORM rule)
+_WS = " \\t\\n\\x0b\\f\\r"
+BPE_TOKEN_RE = (
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+"
+    f"| ?[^{_WS}\\p{{L}}\\p{{N}}]+|[{_WS}]+"
+)
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

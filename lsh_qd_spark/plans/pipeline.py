@@ -59,10 +59,24 @@ class StageStore:
     table); io.write_stage already supports identifiers, this store does
     not pretend to."""
 
-    def __init__(self, spark: SparkSession, root: str, config_hash: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        config_hash: str,
+        input_token: str | None = None,
+    ):
         self.spark = spark
         self.root = root
         self.config_hash = config_hash
+        # identity of the INPUT (source ref + prep flags): config_hash
+        # alone cannot distinguish "same config, different corpus" — a
+        # resumed run pointed at a new --input (or with changed prep
+        # flags) would otherwise silently return the OLD corpus's stages.
+        # None = caller declares no input identity (library use on
+        # ephemeral DataFrames); a token-carrying caller never matches a
+        # token-less manifest and vice versa.
+        self.input_token = input_token
         if "://" not in root:
             os.makedirs(root, exist_ok=True)
 
@@ -75,7 +89,9 @@ class StageStore:
         base = self.root.rstrip("/")
         return (f"{base}/{stage}", f"{base}/{stage}.manifest.json")
 
-    def load(self, stage: str) -> DataFrame | None:
+    def load(
+        self, stage: str, identity: dict | None = None
+    ) -> DataFrame | None:
         from lsh_qd_spark.io import _read_text, path_exists, read_stage
 
         data_path, manifest_path = self._paths(stage)
@@ -84,9 +100,20 @@ class StageStore:
         manifest = json.loads(_read_text(manifest_path, self.spark))
         if manifest.get("config_hash") != self.config_hash:
             return None
+        if manifest.get("input_token") != self.input_token:
+            return None
+        # per-stage identity: run()-level knobs that change a stage's
+        # CONTENT without being part of DedupConfig (include_singletons on
+        # the clusters stage). Old manifests lack the key and read as {} —
+        # they match only an empty identity, so a knob-carrying stage
+        # rebuilds once rather than resuming stale content.
+        if manifest.get("identity", {}) != (identity or {}):
+            return None
         return read_stage(self.spark, data_path)
 
-    def save(self, stage: str, df: DataFrame) -> tuple[DataFrame, StageMetrics]:
+    def save(
+        self, stage: str, df: DataFrame, identity: dict | None = None
+    ) -> tuple[DataFrame, StageMetrics]:
         from lsh_qd_spark.io import read_stage, write_stage
 
         data_path, manifest_path = self._paths(stage)
@@ -116,6 +143,8 @@ class StageStore:
                 {
                     "stage": stage,
                     "config_hash": self.config_hash,
+                    "input_token": self.input_token,
+                    "identity": identity or {},
                     "rows": metrics.rows,
                     "seconds": metrics.seconds,
                     "partitions": metrics.partitions,
@@ -211,11 +240,21 @@ class DedupPipeline:
             pairs.select(F.col("id_a").alias(id_col))
             .union(pairs.select(F.col("id_b")))
             .distinct()
+            # eager: consumed by the count gate AND the semi-join — a lazy
+            # plan would run the whole pairs chain twice
+            .localCheckpoint(eager=True)
         )
-        # broadcast the (small) id set: the semi-join stays map-side and the
-        # full text column is never shuffled
+        # broadcast the id set only while it is actually broadcastable:
+        # candidates are "a small fraction of the corpus" by contract, but
+        # nothing enforces it — past the shared verify cap fall back to a
+        # shuffled semi-join instead of OOMing the driver (same gate as
+        # verify_pairs_text's auto fetch)
+        from lsh_qd_spark.config import VERIFY_BROADCAST_IDS_CAP
+
+        if ids.count() <= VERIFY_BROADCAST_IDS_CAP:
+            ids = F.broadcast(ids)
         return self.shingle(
-            docs.join(F.broadcast(ids), id_col, "left_semi"), text_col, id_col
+            docs.join(ids, id_col, "left_semi"), text_col, id_col
         )
 
     def buckets(self, sigs: DataFrame, key_mode: str = "xxhash64") -> DataFrame:
@@ -255,15 +294,25 @@ class DedupPipeline:
         text_col: str = "text",
         id_col: str = "doc_id",
         include_singletons: bool = False,
+        input_token: str | None = None,
     ) -> dict[str, DataFrame]:
         """Run all stages; returns every stage DataFrame keyed by name.
 
         With ``checkpoint_dir`` set, each stage is materialized with a
         manifest and reruns resume from the first incomplete stage.
+        ``input_token`` names the input's identity (source ref + prep
+        flags — the CLI passes its prep hash): resuming the same
+        checkpoint_dir against a DIFFERENT input or prep then rebuilds
+        instead of silently returning the old corpus's stages.
         """
         spark = docs.sparkSession
         store = (
-            StageStore(spark, self.checkpoint_dir, self.config.config_hash())
+            StageStore(
+                spark,
+                self.checkpoint_dir,
+                self.config.config_hash(),
+                input_token=input_token,
+            )
             if self.checkpoint_dir
             else None
         )
@@ -271,14 +320,14 @@ class DedupPipeline:
         # release them before persisting this run's
         self.release()
 
-        def stage(name: str, build) -> DataFrame:
+        def stage(name: str, build, identity: dict | None = None) -> DataFrame:
             if store is not None:
-                cached = store.load(name)
+                cached = store.load(name, identity)
                 if cached is not None:
                     return cached
             df = build()
             if store is not None:
-                df, metrics = store.save(name, df)
+                df, metrics = store.save(name, df, identity)
                 self.metrics[name] = metrics
             elif name in _MULTI_CONSUMER_STAGES:
                 # Stages with ≥2 downstream consumers (buckets → sizes agg +
@@ -337,7 +386,14 @@ class DedupPipeline:
         vertices = (
             bucketed.select("doc_id").distinct() if include_singletons else None
         )
-        clustered = stage("clusters", lambda: self.clusters(ver, vertices))
+        # include_singletons changes the clusters CONTENT but lives outside
+        # DedupConfig — it must be part of the stage identity or a resumed
+        # run returns clusters built under the opposite setting
+        clustered = stage(
+            "clusters",
+            lambda: self.clusters(ver, vertices),
+            identity={"include_singletons": include_singletons},
+        )
         return {
             "shingles": shingled,
             "signatures": sigs,

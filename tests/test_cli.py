@@ -389,3 +389,20 @@ def test_cli_prep_resume_reuses_prepped_table(spark, tmp_path, capsys):
         (p.name, p.stat().st_mtime_ns) for p in prepped.glob("*.parquet")
     )
     assert files_rebuilt != files_before
+
+
+def test_cli_streaming_rejects_plan_only(tmp_path):
+    """--plan-only promises 'no write'; silently ignoring it in streaming
+    would run the full stream and overwrite the output tables."""
+    import pytest
+
+    with pytest.raises(SystemExit, match="plan-only"):
+        main(
+            [
+                "--input", str(tmp_path / "src"),
+                "--output", str(tmp_path / "out"),
+                "--mode", "stateful",
+                "--checkpoint-dir", str(tmp_path / "ckpt"),
+                "--plan-only",
+            ]
+        )

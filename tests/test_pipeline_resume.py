@@ -148,3 +148,57 @@ def test_checkpoint_resume_over_uri_root(spark, docs, tmp_path):
     out2 = pipe2.run(docs)
     assert pipe2.metrics == {}, "URI-root manifests were not found on rerun"
     assert out2["clusters"].count() == n1
+
+
+def test_input_token_change_invalidates_stages(spark, docs, tmp_path):
+    """Stage manifests bind to the INPUT identity, not only the config:
+    resuming a checkpoint_dir against a different input (CLI: different
+    --input or prep flags → different input_token) must rebuild, not
+    silently return the old corpus's stages."""
+    root = str(tmp_path / "ck")
+    pipe = DedupPipeline(DedupConfig(**CFG), checkpoint_dir=root)
+    out1 = pipe.run(docs, input_token="corpusA")
+    n1 = out1["clusters"].count()
+    n_sig1 = out1["signatures"].count()  # before corpusB overwrites files
+    before = _manifests(root)
+
+    # same token: every stage resumes (manifests untouched)
+    pipe.run(docs, input_token="corpusA")
+    assert {s: m for s, (m, _) in _manifests(root).items()} == {
+        s: m for s, (m, _) in before.items()
+    }
+    for s, (_, mtime) in _manifests(root).items():
+        assert mtime == before[s][1], f"{s} manifest rewritten on resume"
+
+    # different corpus under the same config: stages must rebuild
+    other = generate_pages(spark, SynthConfig(n_docs=120, seed=99)).cache()
+    out2 = DedupPipeline(DedupConfig(**CFG), checkpoint_dir=root).run(
+        other, input_token="corpusB"
+    )
+    assert out2["signatures"].count() != n_sig1
+    # and a token-less library caller never matches a token-carrying
+    # manifest (no silent cross-identity reuse in either direction)
+    out3 = DedupPipeline(DedupConfig(**CFG), checkpoint_dir=root).run(docs)
+    assert out3["clusters"].count() == n1
+
+
+def test_include_singletons_in_clusters_identity(spark, docs, tmp_path):
+    """include_singletons changes the clusters stage CONTENT but is not a
+    DedupConfig field — a resumed run with the opposite setting must
+    rebuild the clusters stage, not return the cached one."""
+    root = str(tmp_path / "ck")
+    cfg = DedupConfig(**CFG)
+    no_single = DedupPipeline(cfg, checkpoint_dir=root).run(
+        docs, include_singletons=False, input_token="t"
+    )["clusters"].count()
+    with_single = DedupPipeline(cfg, checkpoint_dir=root).run(
+        docs, include_singletons=True, input_token="t"
+    )["clusters"].count()
+    n_docs_with_sig = docs.where(F.length("text") > 0).count()
+    assert with_single > no_single
+    assert with_single >= n_docs_with_sig * 0.9
+    # flipping back also rebuilds (identity comparison, not a ratchet)
+    again = DedupPipeline(cfg, checkpoint_dir=root).run(
+        docs, include_singletons=False, input_token="t"
+    )["clusters"].count()
+    assert again == no_single
