@@ -278,8 +278,6 @@ def run_batch(spark, args) -> dict:
         )
         sample["clusters"].explain("formatted")
         return {}
-    for prep in preps:
-        pages = prep(pages)
     prepped = bool(preps)
     if prepped:
         # Materialize the prepped corpus ONCE: downstream it is consumed
@@ -294,7 +292,12 @@ def run_batch(spark, args) -> dict:
             # manifest-guarded like the pipeline stages: a RESUMED run
             # (same input + prep flags) must reuse the prepped table, not
             # replay hours of full-corpus prep shuffles and overwrite it
-            # before the pipeline's own resume logic can skip anything
+            # before the pipeline's own resume logic can skip anything.
+            # The reuse check runs BEFORE the prep lambdas are applied:
+            # remove_boilerplate materializes eagerly (localCheckpoint
+            # inside operators/clean.py), so applying preps first would
+            # launch the full-corpus prep job and then throw it away on
+            # every resume.
             from lsh_qd_spark.io import (
                 check_compat_meta,
                 read_stage,
@@ -318,10 +321,14 @@ def run_batch(spark, args) -> dict:
                 except RuntimeError:
                     reusable = False  # different flags/input — rebuild
             if not reusable:
+                for prep in preps:
+                    pages = prep(pages)
                 write_stage(pages, ref, "overwrite")
                 write_compat_meta(ref, prep_hash)
             pages = read_stage(spark, ref)
         else:
+            for prep in preps:
+                pages = prep(pages)
             pages = pages.persist()
     pipe = DedupPipeline(make_config(args), checkpoint_dir=args.checkpoint_dir)
     out = pipe.run(

@@ -46,7 +46,11 @@ def cosine_expr(a: Column, b: Column) -> Column:
             )
         )
 
-    return dot / (norm(a) * norm(b))
+    # try_divide, not `/`: under Spark 4's default ANSI mode a zero-norm
+    # (dead) embedding would raise DIVIDE_BY_ZERO and abort the job; the
+    # downstream isNotNull filters rely on NULL here, and DuckDB's `/`
+    # (the oracle twin) also yields NULL on a zero denominator.
+    return F.try_divide(dot, norm(a) * norm(b))
 
 
 def brute_force_topk(

@@ -78,19 +78,24 @@ def remove_boilerplate(
         for c in docs.columns
         if c not in (id_col, text_col, "removed_segments")
     ]
+    # Two-branch plan. The SEGMENT branch (id + segment array only) is
+    # eagerly checkpointed because it has two consumers in one action
+    # (flagged-aggregation and the kept anti-join, both via ``exploded``)
+    # — without it the full-corpus tokenize+segment projection runs
+    # twice (the multi-consumer re-execution pairs.py/pipeline.py
+    # checkpoint against). The checkpoint is deliberately SKINNY: the
+    # passthrough columns (which on crawl inputs include the raw ``html``
+    # binary, typically 10-100× the text size) and the tail stay OUT of
+    # block storage — the REBUILD branch below recomputes the two scalar
+    # leftovers (segment count, tail string) in a narrow projection
+    # instead. Net: tokenize runs 2× (once per branch, pipelined with the
+    # scan, no shuffle) versus duplicating the corpus' dominant payload
+    # in executor block storage and dragging it through the rebuild join.
+    # Blocks are reference-tracked (freed with the plan).
     base = docs.select(
         F.col(id_col).alias("_bp_id"),
         segs.alias("_segs"),
-        tail.alias("_tail"),
-        *passthrough,
-    )
-    # eager localCheckpoint: ``base`` has THREE consumers in one action
-    # (flagged-aggregation and kept-anti-join via ``exploded``, plus the
-    # final rebuild join) — without it the full-corpus tokenize+segment
-    # projection runs three times (the multi-consumer re-execution
-    # pairs.py/pipeline.py checkpoint against). Blocks are
-    # reference-tracked (freed with the plan).
-    base = base.localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
     exploded = base.select(
         "_bp_id", F.posexplode("_segs").alias("pos", "seg")
     )
@@ -115,8 +120,18 @@ def remove_boilerplate(
         ).alias("_kept_text"),
         F.count("*").alias("_n_kept"),
     )
+    # REBUILD branch: id + the two skinny recomputed scalars + passthrough
+    # straight off the input scan (narrow — no tokenized arrays, and the
+    # fat passthrough payload rides only this branch, never the
+    # checkpoint). ``n_seg`` equals size(_segs) by construction.
+    rebuild_base = docs.select(
+        F.col(id_col).alias("_bp_id"),
+        n_seg.cast("long").alias("_n_segs"),
+        tail.alias("_tail"),
+        *passthrough,
+    )
     out = (
-        base.join(rebuilt, "_bp_id", "left")
+        rebuild_base.join(rebuilt, "_bp_id", "left")
         .select(
             F.col("_bp_id").alias(id_col),
             F.trim(
@@ -125,7 +140,7 @@ def remove_boilerplate(
                 )
             ).alias(text_col),
             (
-                F.size("_segs") - F.coalesce("_n_kept", F.lit(0))
+                F.col("_n_segs") - F.coalesce("_n_kept", F.lit(0))
             ).cast("long").alias("removed_segments"),
             *passthrough,
         )

@@ -797,7 +797,9 @@ def _cosine_expr(a, b):
             lambda acc, x: acc + x,
         )
     )
-    return dot / (na * nb)
+    # try_divide: NULL (not an ANSI DIVIDE_BY_ZERO error) on zero-norm
+    # embeddings, matching DuckDB's NULL-on-/0 in the SQL twin.
+    return F.try_divide(dot, na * nb)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -299,14 +299,24 @@ class IncrementalDedup:
                 .agg(F.count("*").alias("n"))
                 .collect()
             }
-            # via self.hits(): a batch with zero duplicates writes nothing
-            # readable to hits_dir, and a raw read_stage there raises
-            # UNABLE_TO_INFER_SCHEMA — which would kill the streaming query
-            # from inside foreachBatch. hits() guards the empty-dir case.
+            # Count ONLY the epoch partition this batch just wrote — NOT
+            # self.hits(): that reads the whole sink with mergeSchema, so
+            # per-batch metrics cost would grow with stream age (every
+            # footer ever written, re-listed each trigger — quadratic
+            # cumulative over a long backfill). The fresh partition was
+            # written by THIS code generation, so no schema merge is
+            # needed; a zero-duplicate batch writes no partition dir at
+            # all (dynamic overwrite of an empty frame), hence the
+            # path_exists guard (a raw read_stage on a missing dir would
+            # kill the streaming query from inside foreachBatch).
+            from lsh_qd_spark.io import _join_ref, _write_text, path_exists
+
+            epoch_ref = _join_ref(self.hits_dir, f"epoch={epoch_id}")
             n_hits = (
-                self.hits(spark).where(F.col("epoch") == epoch_id).count()
+                read_stage(spark, epoch_ref).count()
+                if path_exists(epoch_ref, spark)
+                else 0
             )
-            from lsh_qd_spark.io import _join_ref, _write_text
 
             # _write_text is URI-safe: os.makedirs on an s3a://... metrics
             # dir would create a junk LOCAL directory and "succeed"

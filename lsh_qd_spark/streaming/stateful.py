@@ -142,10 +142,18 @@ class StatefulDedup:
         # old-generation state — zero duplicates against every pre-upgrade
         # document, silently. Same loud guard as the incremental index;
         # require the marker whenever checkpointed state already exists.
+        # A checkpoint written before marker-stamping existed trips this
+        # guard too (state, no marker): deliberate — we cannot tell "same
+        # kernel, pre-marker release" from "different kernel" by looking,
+        # and auto-stamping would launder the latter past every future
+        # check. The operator who KNOWS the kernel/config is unchanged
+        # migrates once with ``stamp_compat()`` (see the error text).
         check_compat_meta(
             self.work_dir,
             self.config.key_hash(),
-            what="stateful stream state",
+            what="stateful stream state (if this checkpoint predates "
+            "compat markers and was built by this exact kernel+config, "
+            "migrate once with StatefulDedup.stamp_compat())",
             require_marker=bool(list_child_names(self.checkpoint_dir)),
         )
         # marker BEFORE the query starts (a marker without state is
@@ -164,6 +172,17 @@ class StatefulDedup:
             .trigger(availableNow=True)
             .start()
         )
+
+    def stamp_compat(self) -> None:
+        """One-time migration for a checkpoint written before compat
+        markers existed: stamp the CURRENT kernel/config hash onto
+        ``work_dir`` so ``start()`` resumes it. Only call this when the
+        checkpointed state is KNOWN to have been built by this exact
+        kernel and config — stamping foreign state launders a band-key
+        generation mix past every future check (see start())."""
+        from lsh_qd_spark.io import write_compat_meta
+
+        write_compat_meta(self.work_dir, self.config.key_hash())
 
     def pairs(self, spark) -> DataFrame:
         """Batch view over the collision sink: alpha-filtered candidate

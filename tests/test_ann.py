@@ -83,3 +83,26 @@ def test_ivf_topk_recall_and_planted(emb_df):
     a = set(zip(approx.query_id, approx.neighbor_id))
     recall = len(t & a) / len(t)
     assert recall >= 0.7, f"IVF ANN recall {recall}"
+
+
+def test_zero_norm_embedding_excluded_not_fatal(spark):
+    """A zero-norm (dead) embedding must not abort the job: Spark 4 runs
+    ANSI mode by default, so a raw `/` in cosine would raise
+    DIVIDE_BY_ZERO the moment any all-zero vector reaches top-k.
+    cosine_expr uses try_divide -> NULL, the NULL rows are excluded, and
+    the DuckDB twin's `/` (NULL on zero denominator) stays in parity."""
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 0.0]),  # dead row
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = brute_force_topk(df, df.where("vec_id = 0"), k=5).collect()
+    ids = {r["neighbor_id"] for r in out}
+    assert 1 in ids and 2 not in ids
+    assert all(r["cosine"] is not None for r in out)
+    # the dead row as the QUERY side: every cosine is NULL -> no rows,
+    # not a job abort
+    assert brute_force_topk(df, df.where("vec_id = 2"), k=5).collect() == []

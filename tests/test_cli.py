@@ -406,3 +406,44 @@ def test_cli_streaming_rejects_plan_only(tmp_path):
                 "--plan-only",
             ]
         )
+
+
+def test_cli_prep_resume_does_not_replay_prep_jobs(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """The prepped-table reuse gate must run BEFORE the prep lambdas are
+    applied: remove_boilerplate materializes eagerly (localCheckpoint
+    inside operators/clean.py), so applying preps first would launch the
+    full-corpus prep job and then throw the result away on every resume —
+    hours of wasted shuffle at the design scale. Counted via the operator
+    entry point: a clean resume must not invoke it at all."""
+    import lsh_qd_spark.operators.clean as clean_mod
+
+    real = clean_mod.remove_boilerplate
+    calls = {"n": 0}
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(clean_mod, "remove_boilerplate", counting)
+
+    scfg = SynthConfig(n_docs=150, seed=67)
+    src = str(tmp_path / "pages")
+    generate_pages(spark, scfg).write.parquet(src)
+    args = [
+        "--input", src,
+        "--output", str(tmp_path / "out"),
+        "--num-bands", "16",
+        "--rows-per-band", "2",
+        "--jaccard-threshold", "0.55",
+        "--max-bucket-size", "50",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--clean-boilerplate",
+    ]
+    main(args)
+    capsys.readouterr()
+    assert calls["n"] == 1, "prep should run exactly once on first build"
+    main(args)  # resume: identical input + flags
+    capsys.readouterr()
+    assert calls["n"] == 1, "prep lambda invoked on a clean resume"

@@ -139,3 +139,40 @@ def test_stateful_kernel_change_fails_loudly(spark, tmp_path):
     other = DedupConfig(rows_per_band=4, num_bands=4, alpha=1)
     with pytest.raises(RuntimeError, match="kernel|config|compat"):
         StatefulDedup(other, work).start(spark, src)
+
+
+def test_stateful_premarker_checkpoint_migrates_via_stamp(spark, tmp_path):
+    """A checkpoint written before compat markers existed (state present,
+    no marker) refuses to resume — we cannot distinguish "same kernel,
+    pre-marker release" from "different kernel", and auto-stamping would
+    launder the latter. stamp_compat() is the documented one-time
+    migration for the operator who KNOWS kernel+config are unchanged."""
+    import pytest
+
+    work = str(tmp_path / "work")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(0, "some page text here for the stream")],
+        "doc_id long, text string",
+    ).selectExpr(
+        "doc_id",
+        "cast(null as string) url",
+        "cast(null as timestamp) warc_ts",
+        "cast(null as binary) html",
+        "text",
+        "cast(null as string) lang",
+    ).coalesce(1).write.parquet(src)
+
+    cfg = DedupConfig(rows_per_band=2, num_bands=8, alpha=1)
+    sd = StatefulDedup(cfg, work)
+    sd.start(spark, src).awaitTermination(120)
+
+    # simulate a pre-marker-release checkpoint: state exists, no marker
+    os.remove(os.path.join(work, "_compat_meta.json"))
+    with pytest.raises(RuntimeError, match="stamp_compat"):
+        StatefulDedup(cfg, work).start(spark, src)
+
+    # operator-attested migration: stamp, then resume normally
+    sd2 = StatefulDedup(cfg, work)
+    sd2.stamp_compat()
+    sd2.start(spark, src).awaitTermination(120)

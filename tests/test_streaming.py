@@ -337,3 +337,29 @@ def test_compat_marker_written_before_data(spark, tmp_path):
     assert os.path.exists(marker)
     assert json.load(open(marker))["config_hash"] == cfg.key_hash()
     inc.process_batch(b, 0)  # replay: must not raise
+
+
+def test_metrics_zero_hit_epoch_and_bounded_read(spark, tmp_path):
+    """Metrics count only the freshly written epoch partition (not a
+    whole-sink mergeSchema read that grows with stream age). A
+    zero-duplicate batch writes no hits partition at all — the metrics
+    path must record hits=0, not crash on the missing directory."""
+    import json
+
+    work = str(tmp_path / "work")
+    pages = spark.createDataFrame(
+        [
+            (0, "alpha bravo charlie delta echo foxtrot golf hotel"),
+            (1, "india juliet kilo lima mike november oscar papa"),
+            (2, "quebec romeo sierra tango uniform victor whiskey xray"),
+        ],
+        "doc_id long, text string",
+    )
+    inc = IncrementalDedup(
+        DedupConfig(rows_per_band=4, num_bands=4, alpha=4), work
+    )
+    inc.process_batch(pages, epoch_id=0)
+    with open(os.path.join(inc.metrics_dir, "epoch_0.json")) as f:
+        m = json.load(f)
+    assert m["hits"] == 0
+    assert inc.hits(spark).count() == 0
