@@ -35,6 +35,7 @@ Environment gates (both loud, neither load-bearing for the engine):
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass
 
@@ -141,7 +142,14 @@ class AnnBenchmarkSource:
         """Stream the HDF5 file into ``{out_dir}/train`` and
         ``{out_dir}/test`` parquet tables (one row group per chunk so a
         parallel scan gets ≥ n_rows/chunk_rows splits). Returns the two
-        table paths. Idempotent by overwrite."""
+        table paths. Idempotent by overwrite.
+
+        With ``normalize=True`` the stored embeddings are min-max
+        rescaled but ``neighbor_dists`` stays in the ORIGINAL space (the
+        reference carries the same inconsistency as an open TODO —
+        datasets.py: dists must be recomputed after normalization);
+        a RuntimeWarning flags it at convert time so consumers don't
+        threshold recomputed distances against raw-scale ones."""
         import numpy as np
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -153,6 +161,16 @@ class AnnBenchmarkSource:
         with self._open() as f:
             scale = None
             if self.normalize:
+                import warnings
+
+                warnings.warn(
+                    "normalize=True rescales stored embeddings, but "
+                    "neighbor_dists remains in the ORIGINAL space "
+                    "(reference-parity behavior); recompute distances "
+                    "before comparing against it",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
                 lo, hi = self._min_max(f)
                 # degenerate constant dataset: the reference would divide
                 # by zero; map everything to 0.0 instead
@@ -249,13 +267,20 @@ class AnnBenchmarkSource:
                             schema=test_schema,
                         )
                     )
+        # completion marker LAST: ParquetWriter creates part-0.parquet at
+        # open, so file existence alone cannot distinguish a finished
+        # conversion from one killed mid-write (footer-less parquet that
+        # every later read would choke on). Underscore-prefixed so Spark
+        # scans skip it, like _SUCCESS.
+        with open(os.path.join(out_dir, "_conversion_complete.json"), "w") as m:
+            json.dump({"tables": sorted(paths)}, m)
         return paths
 
     @staticmethod
     def converted(out_dir: str) -> bool:
         return os.path.exists(
-            os.path.join(out_dir, "train", "part-0.parquet")
-        ) and os.path.exists(os.path.join(out_dir, "test", "part-0.parquet"))
+            os.path.join(out_dir, "_conversion_complete.json")
+        )
 
     # -- readers ----------------------------------------------------------
 

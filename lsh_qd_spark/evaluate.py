@@ -53,6 +53,12 @@ def query_metrics(
     grand averages via a final agg — experiments.py:33-54 as two joins.
     Queries missing from ``pred`` count as zero-recall (the reference's
     empty-prediction case)."""
+    # SET semantics, like the reference's intersection-of-sets (and like
+    # pair_metrics below): duplicate (query, doc) rows — e.g. an
+    # ungrouped per-band or multi-probe output — would otherwise inflate
+    # n_hit past n_truth and report recall > 1.0
+    truth = truth.dropDuplicates([query_col, doc_col])
+    pred = pred.dropDuplicates([query_col, doc_col])
     t = truth.groupBy(query_col).agg(F.count("*").alias("n_truth"))
     p = pred.groupBy(query_col).agg(F.count("*").alias("n_pred"))
     hits = (

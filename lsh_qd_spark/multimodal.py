@@ -226,7 +226,18 @@ def image_feature(img: np.ndarray, grid: int = 8) -> np.ndarray:
     means = (sums / np.maximum(counts, 1)).astype(np.float32)
     v = means - means.mean()
     n = float(np.linalg.norm(v))
-    return v / n if n > 0 else means / max(float(np.linalg.norm(means)), 1e-9)
+    if n > 0:
+        return v / n
+    m = float(np.linalg.norm(means))
+    if m > 0:
+        return means / m  # constant non-black frame
+    # all-black frame: a zero vector would make cosine NULL downstream
+    # (try_divide) and silently drop even byte-identical duplicates — map
+    # every dead frame to one canonical unit vector instead, so identical
+    # blanks still bucket together and verify at cosine 1.0
+    out = np.zeros(grid * grid, dtype=np.float32)
+    out[0] = 1.0
+    return out
 
 
 def audio_feature(x: np.ndarray, n_windows: int = 32) -> np.ndarray:
@@ -241,11 +252,22 @@ def audio_feature(x: np.ndarray, n_windows: int = 32) -> np.ndarray:
     crossings = np.concatenate([[0.0], np.abs(np.diff(sb)).astype(np.float64)])
     zc = np.add.reduceat(crossings, bounds)
     widths = np.diff(np.append(bounds, n))
+    # reduceat quirk: a zero-width window (duplicate bounds when
+    # n < n_windows) yields x[bounds[i]], NOT 0 — without masking, a
+    # short clip double-counts samples into phantom windows
+    empty = widths == 0
+    sq[empty] = 0.0
+    zc[empty] = 0.0
     feat = np.concatenate(
         [np.sqrt(sq / np.maximum(widths, 1)), zc / np.maximum(widths, 1)]
     ).astype(np.float32)
     norm = float(np.linalg.norm(feat))
-    return feat / norm if norm > 0 else feat
+    if norm > 0:
+        return feat / norm
+    # all-silent clip: same canonical-unit treatment as image_feature —
+    # a zero feature would NULL the cosine and drop identical silences
+    feat[0] = 1.0
+    return feat
 
 
 def ppm_feature_decoder(grid: int = 8) -> Callable[[bytes], np.ndarray]:
@@ -343,12 +365,26 @@ def deterministic_fake_decoder(dim: int = 64) -> Callable[[bytes], np.ndarray]:
 def _decode_chunk(
     pdf: pd.DataFrame, decode_fn: Callable[[bytes], np.ndarray]
 ) -> pd.DataFrame:
+    # NULL payloads carry no content: drop the row (the empty-set skip
+    # convention, functions/fast_shingle.py) instead of handing None to
+    # decode_fn — one null row would otherwise fail the task 4× and
+    # abort the whole multi-TB extract job
+    pdf = pdf[pdf["payload"].notna()]
     feats = [decode_fn(p) for p in pdf["payload"]]
+    # explicit dtypes: an all-NULL chunk yields an EMPTY frame, and
+    # pandas' default empty-column dtype (float64) breaks the Arrow
+    # list<float> conversion for the feature column
     return pd.DataFrame(
         {
-            "media_id": pdf["media_id"].to_numpy(),
-            "feature": [f.tolist() for f in feats],
-            "feat_dim": [len(f) for f in feats],
+            "media_id": pd.Series(
+                pdf["media_id"].to_numpy(), dtype="int64"
+            ),
+            "feature": pd.Series(
+                [f.tolist() for f in feats], dtype="object"
+            ),
+            "feat_dim": pd.Series(
+                [len(f) for f in feats], dtype="int64"
+            ),
         }
     )
 
@@ -417,7 +453,6 @@ def media_near_dup(
     )
     keyed = feats.select(
         F.col("media_id").alias("doc_id"),
-        F.col("feature"),
         F.posexplode(udf(F.col("feature"))).alias("band_idx", "band_key"),
     )
     cand = candidate_pairs(

@@ -120,6 +120,14 @@ def plan_minhash(
     smallest l satisfying recall, then test the fp bound; prefer minimal
     k·l (hash budget), mirroring get_min_k_l_minhash (lsh-qd.py:1046-1063).
     """
+    # upfront, not mid-grid: min_recall=1.0 would otherwise surface as a
+    # bare math-domain error from log(1 - min_recall) on the first viable
+    # k, bypassing the planners' actionable-ValueError contract
+    if not 0.0 < min_recall < 1.0:
+        raise ValueError(
+            f"min_recall must be in (0, 1), got {min_recall} — recall 1.0 "
+            f"is unreachable on a finite (k, l) grid"
+        )
     best: PlanResult | None = None
     for k in range(1, max_k + 1):
         pk = s1**k
@@ -158,18 +166,26 @@ def plan_alpha(
     s1: float,
     s2: float,
     min_recall: float = 0.99,
+    max_fp: float = 0.10,
 ) -> int:
-    """Largest alpha keeping recall at s1 — get_alpha_minhash
-    (lsh-qd.py:876-910) with the empty-grid guard its original lacks:
-    always returns ≥1."""
-    best = 1
-    for alpha in range(1, l + 1):
-        p1 = float(collision_prob_alpha(s1, k, l, alpha))
-        if p1 >= min_recall:
-            best = alpha
-        else:
-            break
-    return best
+    """Largest alpha with P_alpha(s1) ≥ min_recall AND P_alpha(s2) ≤
+    max_fp — get_alpha_minhash (lsh-qd.py:876-910), which enforces BOTH
+    bounds (``(p_ts >= posi_rate) & (p_fs <= false_rate)``). Since
+    P_alpha is monotone decreasing in alpha, the recall-valid alphas are
+    a prefix and the fp-valid ones a suffix: the greatest recall-valid
+    alpha is automatically the least-false-positive one, so the bounds
+    can only jointly fail, never trade off. Raises the sibling planners'
+    loud ValueError where the reference would hit its empty-argwhere
+    IndexError (``valid_alphas[-1]``) — documented divergence, not a
+    copy."""
+    a = greatest_valid_alpha(k, l, s1, s2, min_recall, max_fp)
+    if a is None:
+        raise ValueError(
+            f"no alpha in [1, {l}] meets recall>={min_recall} at s1={s1} "
+            f"and fp<={max_fp} at s2={s2} for (k={k}, l={l}) — widen the "
+            f"rates or re-plan (k, l)"
+        )
+    return a
 
 
 def plan_pstable(
@@ -185,6 +201,11 @@ def plan_pstable(
     """(r, k, l) grid for p-stable hashing — get_r_k_l_pstable
     (lsh-qd.py:982-1043), including its RETURN_FIRST early exit and the
     hoisted/cached base integral."""
+    if not 0.0 < min_recall < 1.0:  # same contract as plan_minhash
+        raise ValueError(
+            f"min_recall must be in (0, 1), got {min_recall} — recall 1.0 "
+            f"is unreachable on a finite (r, k, l) grid"
+        )
     best: PlanResult | None = None
     for r in rs:
         p1 = _pstable_base_prob(d1, r)

@@ -120,7 +120,11 @@ def _batch(cfg: SynthConfig, ids: np.ndarray) -> pd.DataFrame:
         f"<html><head><title>p{int(i)}</title></head><body><p>{t}</p></body></html>".encode()
         for i, t in zip(ids, texts)
     ]
-    ts = pd.to_datetime(BASE_TS + ids.astype(np.int64) % 86_400_000, unit="s")
+    # % 86_400 (seconds per day), intent: all synthetic crawl timestamps
+    # wrap within one day of BASE_TS. The old 86_400_000 (ms per day) let
+    # corpora past 86k docs span ~1000 days, skewing any latest-per-url
+    # scenario built on large synth inputs.
+    ts = pd.to_datetime(BASE_TS + ids.astype(np.int64) % 86_400, unit="s")
     return pd.DataFrame(
         {
             "doc_id": ids.astype(np.int64),

@@ -200,3 +200,15 @@ def test_normalize_matches_reference_float32_arithmetic(
     assert np.array_equal(got, want), (
         np.abs(got.astype(np.float64) - want.astype(np.float64)).max()
     )
+
+
+def test_partial_conversion_not_reported_converted(tmp_path):
+    """ParquetWriter creates part-0.parquet at open, so a conversion
+    killed mid-write leaves both files present but footer-less —
+    converted() must key on the completion marker written LAST, not on
+    file existence."""
+    out = tmp_path / "out"
+    for t in ("train", "test"):
+        (out / t).mkdir(parents=True)
+        (out / t / "part-0.parquet").write_bytes(b"PAR1")  # no footer
+    assert not AnnBenchmarkSource.converted(str(out))

@@ -297,3 +297,42 @@ def test_extract_features_batch_limit_chunks_identically(spark):
         for r in extract_features(media, dec, batch_limit_bytes=1).collect()
     }
     assert capped == base and len(base) == 50
+
+
+def test_null_payload_row_skipped_not_fatal(spark):
+    """A NULL payload row must not abort the extract job (decode_fn(None)
+    would fail the task 4x and kill a multi-TB run): the row is dropped,
+    like the empty-set skip in the text path."""
+    from lsh_qd_spark.multimodal import extract_features
+
+    img = encode_ppm(_image(5))
+    media = spark.createDataFrame(
+        [(1, bytearray(img)), (2, None), (3, bytearray(img))],
+        "media_id long, payload binary",
+    )
+    out = extract_features(media, ppm_feature_decoder()).collect()
+    assert sorted(r["media_id"] for r in out) == [1, 3]
+
+
+def test_all_black_images_still_deduplicate():
+    """An all-black (or all-silent) input maps to one canonical unit
+    vector, not the zero vector: a zero feature would NULL the cosine
+    (try_divide) and silently drop byte-identical duplicates."""
+    black = np.zeros((32, 32, 3), dtype=np.uint8)
+    fa = image_feature(black)
+    fb = image_feature(np.zeros((64, 48, 3), dtype=np.uint8))
+    assert float(np.linalg.norm(fa)) > 0
+    assert float(np.dot(fa, fb)) == pytest.approx(1.0)
+    silent = audio_feature(np.zeros(1000, dtype=np.float32))
+    assert float(np.linalg.norm(silent)) > 0
+
+
+def test_short_clip_no_phantom_windows():
+    """n < n_windows: reduceat returns x[i] (not 0) for zero-width
+    windows — those slots must be masked, or a single sample leaks
+    nonzero energy into several phantom windows."""
+    x = np.full(10, 0.5, dtype=np.float32)
+    feat = audio_feature(x, n_windows=32)
+    rms = feat[:32]
+    # exactly the 10 real (width-1) windows carry energy
+    assert int(np.count_nonzero(rms)) == 10

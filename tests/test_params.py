@@ -94,6 +94,29 @@ def test_plan_alpha_keeps_recall():
     assert float(
         collision_prob_alpha(0.8, plan.k, plan.l, alpha)
     ) >= 0.99
+    # the reference enforces BOTH bounds (get_alpha_minhash:
+    # (p_ts >= posi_rate) & (p_fs <= false_rate)) — the returned alpha
+    # must also meet the false-positive cap at s2
+    assert float(
+        collision_prob_alpha(0.4, plan.k, plan.l, alpha)
+    ) <= 0.10
+
+
+def test_plan_alpha_false_bound_unmeetable_raises():
+    """(k=1, l=1) at s1=s2: a single table collides with prob s for both
+    balls, so no alpha can separate them — the reference's empty argwhere
+    (an IndexError there) is a loud ValueError here."""
+    with pytest.raises(ValueError, match="no alpha"):
+        plan_alpha(1, 1, 0.9, 0.9, min_recall=0.5, max_fp=0.1)
+
+
+def test_plan_min_recall_one_raises_actionably():
+    """min_recall=1.0 used to surface as a bare math-domain error from
+    log(1 - min_recall); both grid planners now state the contract."""
+    with pytest.raises(ValueError, match="min_recall"):
+        plan_minhash(0.9, 0.5, min_recall=1.0)
+    with pytest.raises(ValueError, match="min_recall"):
+        plan_pstable(d1=0.5, d2=4.0, min_recall=1.0)
 
 
 def test_plan_pstable_return_first():

@@ -202,3 +202,21 @@ def test_latest_per_url_rejected_in_streaming_mode(tmp_path):
               str(tmp_path / "out"), "--mode", "incremental",
               "--checkpoint-dir", str(tmp_path / "ck"),
               "--latest-per-url"])
+
+
+def test_synth_timestamps_wrap_within_one_day():
+    """warc_ts wraps doc ids modulo seconds-per-day: large synthetic
+    corpora (> 86 400 docs) must not fan timestamps out over ~3 years
+    (the old modulus was milliseconds-per-day by mistake), or any
+    latest-per-url scenario built on them is skewed."""
+    import numpy as np
+
+    from lsh_qd_spark.synth import BASE_TS, SynthConfig, _batch
+
+    cfg = SynthConfig(n_docs=200_000, seed=3)
+    pdf = _batch(cfg, np.array([0, 86_399, 86_400, 199_999]))
+    secs = pdf["warc_ts"].astype("int64") // 1_000_000_000
+    assert secs.min() >= BASE_TS
+    assert secs.max() < BASE_TS + 86_400
+    # the wrap itself: id 86_400 lands back on BASE_TS
+    assert secs[pdf.doc_id == 86_400].iloc[0] == BASE_TS

@@ -164,3 +164,17 @@ def test_tiered_buckets_prefix_property(spark):
         .count()
         == 0
     )
+
+def test_query_metrics_set_semantics_caps_recall(spark):
+    """Duplicate (query, doc) rows in pred (e.g. an ungrouped per-band
+    output) must not inflate n_hit past n_truth: the reference's metric
+    is an intersection of SETS, so recall is capped at 1.0."""
+    truth = spark.createDataFrame(
+        [(0, 10)], "query_id long, doc_id long"
+    )
+    pred = spark.createDataFrame(
+        [(0, 10), (0, 10), (0, 10)], "query_id long, doc_id long"
+    )
+    m = query_metrics(pred, truth).collect()[0]
+    assert m["n_hit"] == 1 and m["n_pred"] == 1
+    assert m["recall"] == 1.0 and m["precision"] == 1.0
