@@ -40,7 +40,9 @@ class LSHIndex:
         self.pipe = DedupPipeline(config)
 
     def _shard(self) -> F.Column:
-        return F.pmod(F.xxhash64("band_key"), F.lit(self.n_shards)).cast("int")
+        from lsh_qd_spark.operators.band import shard_expr
+
+        return shard_expr(self.n_shards)
 
     def hash(
         self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -78,19 +80,24 @@ class LSHIndex:
             layout={"n_shards": self.n_shards},
             require_marker=self.exists(docs.sparkSession),
         )
-        buckets = self.pipe.buckets(
-            self.pipe.signatures_from_text(docs, text_col, id_col)
-        ).withColumn("shard", self._shard())
-        write_stage(buckets, self.index_ref, "append", ["shard"])
-        # stamp AFTER the write (same order as hash() and the streaming
-        # twin): an index whose FIRST batch arrived via append() would
-        # otherwise carry no marker and fail every later append/read with
-        # a spurious rebuild instruction
+        # stamp BEFORE the data write (the streaming twin's order —
+        # incremental.py writes its marker before the first epoch commits):
+        # data-then-marker leaves a crash window where the first-ever
+        # append commits bucket files, the driver dies before stamping,
+        # and every retry then sees data + require_marker + no marker —
+        # the append path is bricked until a manual stamp. The reverse
+        # failure (marker, no data) is harmless: check_compat_meta above
+        # already validated any existing marker, and re-writing the same
+        # content is idempotent.
         write_compat_meta(
             self.index_ref,
             self.config.key_hash(),
             layout={"n_shards": self.n_shards},
         )
+        buckets = self.pipe.buckets(
+            self.pipe.signatures_from_text(docs, text_col, id_col)
+        ).withColumn("shard", self._shard())
+        write_stage(buckets, self.index_ref, "append", ["shard"])
 
     def buckets(self, spark: SparkSession) -> DataFrame:
         from lsh_qd_spark.io import check_compat_meta, read_stage
@@ -109,9 +116,14 @@ class LSHIndex:
 
         if is_path_ref(self.index_ref):
             # URI-safe listing: a remote index_ref probed with driver-local
-            # os.path would always read "absent"
+            # os.path would always read "absent". Accept BOTH layouts:
+            # batch builds write shard=N partitions, the streaming twin
+            # writes epoch=N/shard=M — a streaming-built index is
+            # queryable/appendable here (module contract), and reading it
+            # as "absent" would let append() skip require_marker and
+            # stamp unknown band-key generations as current.
             return any(
-                f.startswith("shard=")
+                f.startswith(("shard=", "epoch="))
                 for f in list_child_names(self.index_ref, spark)
             )
         return stage_exists(spark, self.index_ref)

@@ -60,8 +60,6 @@ def query_text_neighbors(
     (query_id, doc_id, n_bands[, jaccard]). Queries and corpus are hashed
     with the same seed/coefficients, so bucket equality semantics match the
     reference's shared hash functions."""
-    from lsh_qd_spark.config import VERIFY_BROADCAST_IDS_CAP
-
     cfg = config or DedupConfig()
     pipe = DedupPipeline(cfg)
     cb = pipe.buckets(pipe.signatures_from_text(corpus_docs))
@@ -81,7 +79,10 @@ def query_text_neighbors(
     # broadcasting an unbounded id set OOMs the driver. Counting is cheap
     # post-checkpoint; over the cap, fall back to a plain (shuffled)
     # semi-join instead of truncating.
-    if cand_ids.count() <= VERIFY_BROADCAST_IDS_CAP:
+    # the CONFIGURED cap, not the module constant: a memory-constrained
+    # run that lowered verify_broadcast_ids_cap must see it honored here
+    # too, or this path broadcasts what verify just refused to
+    if cand_ids.count() <= cfg.verify_broadcast_ids_cap:
         cand_ids = F.broadcast(cand_ids)
     csh = pipe.shingle(
         corpus_docs.join(cand_ids, "doc_id", "left_semi")

@@ -47,23 +47,31 @@ def suffix_array(codes: np.ndarray) -> np.ndarray:
 
 
 def lcp_array(codes: np.ndarray, sa: np.ndarray) -> np.ndarray:
-    """Kasai's algorithm: lcp[i] = LCP(suffix sa[i], suffix sa[i-1])."""
+    """Kasai's algorithm: lcp[i] = LCP(suffix sa[i], suffix sa[i-1]).
+
+    The O(n) loop runs on plain Python lists/ints: NumPy scalar indexing
+    costs ~1 µs per access, and this is the per-pair hot kernel — list
+    access is ~20× cheaper for the same asymptotics."""
     n = len(codes)
     rank = np.empty(n, dtype=np.int64)
     rank[sa] = np.arange(n)
-    lcp = np.zeros(n, dtype=np.int64)
+    cl = codes.tolist()
+    sa_l = sa.tolist()
+    rank_l = rank.tolist()
+    lcp = [0] * n
     h = 0
     for i in range(n):
-        if rank[i] > 0:
-            j = sa[rank[i] - 1]
-            while i + h < n and j + h < n and codes[i + h] == codes[j + h]:
+        r = rank_l[i]
+        if r > 0:
+            j = sa_l[r - 1]
+            while i + h < n and j + h < n and cl[i + h] == cl[j + h]:
                 h += 1
-            lcp[rank[i]] = h
+            lcp[r] = h
             if h > 0:
                 h -= 1
         else:
             h = 0
-    return lcp
+    return np.asarray(lcp, dtype=np.int64)
 
 
 def longest_common_substring(a: str, b: str) -> int:
@@ -78,12 +86,10 @@ def longest_common_substring(a: str, b: str) -> int:
     sa = suffix_array(codes)
     lcp = lcp_array(codes, sa)
     side = sa < na  # suffix starts in a (the separator belongs to neither)
-    best = 0
-    for i in range(1, len(sa)):
-        if side[i] != side[i - 1] and sa[i] != na and sa[i - 1] != na:
-            if lcp[i] > best:
-                best = int(lcp[i])
-    return best
+    # vectorized adjacent-pair scan (the old per-index Python loop paid
+    # ~1 µs/char of NumPy-scalar overhead in the per-pair hot path)
+    mask = (side[1:] != side[:-1]) & (sa[1:] != na) & (sa[:-1] != na)
+    return int(lcp[1:][mask].max(initial=0))
 
 
 def exact_overlap(
@@ -92,16 +98,44 @@ def exact_overlap(
     min_len: int,
     id_col: str = "doc_id",
     text_col: str = "text_norm",
+    fetch: str = "auto",
 ) -> DataFrame:
     """(id_a, id_b, overlap_len) for pairs sharing an exact substring of at
-    least ``min_len`` characters (in normalized-text space)."""
-    t = docs.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_txt"))
+    least ``min_len`` characters (in normalized-text space).
+
+    Candidate text reaches the kernel through the SAME fetch discipline as
+    the Jaccard verify (operators/verify.py:_auto_fetch): semi-join the
+    corpus against the candidate-id set and broadcast/checkpoint the
+    surviving texts when they fit, falling back to plain equi-joins only
+    when candidates are corpus-scale — joining the pair list directly
+    against the full docs table twice (the old shape) pays two corpus
+    scans + shuffles that the rest of the engine engineered away."""
+    from lsh_qd_spark.config import VERIFY_BROADCAST_IDS_CAP
+    from lsh_qd_spark.operators.verify import _auto_fetch
+
+    t = docs.select(F.col(id_col).alias("_vid"), F.col(text_col).alias("_vtx"))
+    ids = (
+        pairs.select(F.col("id_a").alias("_vid"))
+        .union(pairs.select(F.col("id_b").alias("_vid")))
+        .distinct()
+    )
+    if fetch == "auto":
+        fetch, tchk = _auto_fetch(
+            ids, t, VERIFY_BROADCAST_IDS_CAP, 512 * 1024 * 1024
+        )
+        if tchk is not None:
+            t = tchk
+
+    def side(alias: str):
+        s = t.withColumnRenamed("_vid", alias)
+        return F.broadcast(s) if fetch == "broadcast_ids" else s
+
     joined = (
         pairs.select("id_a", "id_b")
-        .join(t.withColumnRenamed("_tid", "id_a"), "id_a")
-        .withColumnRenamed("_txt", "text_a")
-        .join(t.withColumnRenamed("_tid", "id_b"), "id_b")
-        .withColumnRenamed("_txt", "text_b")
+        .join(side("id_a"), "id_a")
+        .withColumnRenamed("_vtx", "text_a")
+        .join(side("id_b"), "id_b")
+        .withColumnRenamed("_vtx", "text_b")
     )
 
     def compute(batches):
@@ -113,7 +147,15 @@ def exact_overlap(
             ]
             yield out
 
-    result = joined.mapInPandas(
-        compute, schema="id_a long, id_b long, overlap_len long"
+    # schema derived from the input, not hardcoded: the engine is
+    # id-type generic (string doc ids are first-class everywhere else —
+    # cluster.py, verify.py derive theirs the same way)
+    schema = ", ".join(
+        [
+            f"id_a {pairs.schema['id_a'].dataType.simpleString()}",
+            f"id_b {pairs.schema['id_b'].dataType.simpleString()}",
+            "overlap_len long",
+        ]
     )
+    result = joined.mapInPandas(compute, schema=schema)
     return result.where(F.col("overlap_len") >= min_len)

@@ -235,24 +235,21 @@ class DedupPipeline:
         id_col: str = "doc_id",
     ) -> DataFrame:
         """Shingle sets for candidate-pair documents only (the verify stage
-        needs no others — typically a small fraction of the corpus)."""
+        needs no others — typically a small fraction of the corpus).
+
+        Fully LAZY: no count gate, no checkpoint, no broadcast hint. The
+        id set has exactly one consumer (the semi-join), so nothing
+        double-runs, and AQE upgrades the semi-join's build side to a
+        broadcast at runtime when it actually fits — a driver-side count
+        here would charge every fused-path run() eager jobs for an output
+        most callers (e.g. the CLI, which reads only verified/clusters)
+        never touch. An unbroadcastable (corpus-scale) id set degrades to
+        a shuffled semi-join, never a driver OOM."""
         ids = (
             pairs.select(F.col("id_a").alias(id_col))
             .union(pairs.select(F.col("id_b")))
             .distinct()
-            # eager: consumed by the count gate AND the semi-join — a lazy
-            # plan would run the whole pairs chain twice
-            .localCheckpoint(eager=True)
         )
-        # broadcast the id set only while it is actually broadcastable:
-        # candidates are "a small fraction of the corpus" by contract, but
-        # nothing enforces it — past the shared verify cap fall back to a
-        # shuffled semi-join instead of OOMing the driver (same gate as
-        # verify_pairs_text's auto fetch)
-        from lsh_qd_spark.config import VERIFY_BROADCAST_IDS_CAP
-
-        if ids.count() <= VERIFY_BROADCAST_IDS_CAP:
-            ids = F.broadcast(ids)
         return self.shingle(
             docs.join(ids, id_col, "left_semi"), text_col, id_col
         )
@@ -366,7 +363,10 @@ class DedupPipeline:
                     broadcast_ids_cap=self.config.verify_broadcast_ids_cap,
                 ),
             )
-            # lazy, unmaterialized — for callers that want the sets
+            # genuinely lazy (no count/checkpoint inside — see
+            # candidate_shingles): constructing it here costs no jobs; it
+            # derives from the persisted pairs stage for callers that
+            # consume the sets
             shingled = self.candidate_shingles(docs, cand, text_col, id_col)
         else:
             shingled = stage(

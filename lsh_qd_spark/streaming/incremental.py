@@ -89,7 +89,9 @@ class IncrementalDedup:
         )
 
     def _shard(self) -> F.Column:
-        return F.pmod(F.xxhash64("band_key"), F.lit(self.n_shards)).cast("int")
+        from lsh_qd_spark.operators.band import shard_expr
+
+        return shard_expr(self.n_shards)
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         from lsh_qd_spark.io import check_compat_meta, write_compat_meta

@@ -215,3 +215,42 @@ def test_hash_bucketed_qualified_name_clears_stale_location(spark, corpus, index
         spark.sql("DROP TABLE IF EXISTS lshdb.idx_qualified")
         spark.sql("DROP DATABASE IF EXISTS lshdb")
         shutil.rmtree(stale, ignore_errors=True)
+
+
+def test_append_crash_window_does_not_brick(spark, corpus, tmp_path, monkeypatch):
+    """The compat marker is stamped BEFORE the data write: if the first
+    append's data write crashes AFTER committing files, a retry must not
+    find data-without-marker (which require_marker would refuse forever).
+    Simulated by failing write_stage after the marker stamp."""
+    import lsh_qd_spark.io as io_mod
+
+    ref = str(tmp_path / "idx")
+    idx = LSHIndex(DedupConfig(rows_per_band=2, num_bands=8), ref)
+
+    real_write = io_mod.write_stage
+
+    def failing_write(*a, **k):
+        raise RuntimeError("simulated executor loss mid-write")
+
+    monkeypatch.setattr(io_mod, "write_stage", failing_write)
+    with pytest.raises(RuntimeError, match="simulated"):
+        idx.append(corpus)
+    monkeypatch.setattr(io_mod, "write_stage", real_write)
+    # marker exists, data may or may not — the retry must succeed
+    assert os.path.exists(os.path.join(ref, "_compat_meta.json"))
+    idx.append(corpus)
+    assert idx.buckets(spark).count() > 0
+
+
+def test_exists_recognizes_streaming_layout(spark, corpus, tmp_path):
+    """A streaming-built index (epoch=/shard= layout) holds data: exists()
+    must say so, or append() skips require_marker on it and could stamp
+    unknown band-key generations as current."""
+    from lsh_qd_spark.streaming.incremental import IncrementalDedup
+
+    work = str(tmp_path / "work")
+    cfg = DedupConfig(rows_per_band=2, num_bands=8)
+    inc = IncrementalDedup(cfg, work)
+    inc.process_batch(corpus.limit(50), epoch_id=0)
+    idx = LSHIndex(cfg, inc.index_dir, n_shards=inc.n_shards)
+    assert idx.exists(spark)

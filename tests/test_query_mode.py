@@ -117,3 +117,26 @@ def test_multimodal_near_dup_finds_byte_dups(spark):
     assert len(got) == 12
     for r in got:
         assert r["id_a"] % 4 == r["id_b"] % 4
+
+def test_query_text_neighbors_honors_configured_cap(spark, corpus):
+    """The candidate-id broadcast gate must read the CONFIGURED
+    verify_broadcast_ids_cap, not the module constant: cap=0 forces the
+    shuffled semi-join fallback, with identical results."""
+    cfg = DedupConfig(rows_per_band=2, num_bands=16, jaccard_threshold=0.5)
+    dstart = SynthConfig(n_docs=400, seed=3).dup_start
+    queries = corpus.where(F.col("doc_id") == dstart)  # has planted siblings
+    base = query_text_neighbors(
+        corpus, queries, cfg, alpha=1, jaccard_threshold=0.5
+    )
+    capped_cfg = DedupConfig(
+        rows_per_band=2,
+        num_bands=16,
+        jaccard_threshold=0.5,
+        verify_broadcast_ids_cap=0,
+    )
+    capped = query_text_neighbors(
+        corpus, queries, capped_cfg, alpha=1, jaccard_threshold=0.5
+    )
+    a = {tuple(r) for r in base.collect()}
+    b = {tuple(r) for r in capped.collect()}
+    assert a == b and len(a) > 0

@@ -87,3 +87,22 @@ def test_exact_overlap_operator(spark):
     assert len(got) == 1
     assert got[0]["id_a"] == 1 and got[0]["id_b"] == 2
     assert got[0]["overlap_len"] >= len("shared boilerplate block here")
+
+
+def test_exact_overlap_string_ids(spark):
+    """The engine is id-type generic (string doc ids are first-class in
+    cluster/verify): exact_overlap must derive its mapInPandas schema
+    from the pairs schema, not hardcode long ids."""
+    docs = spark.createDataFrame(
+        [
+            ("u1", "aaa shared boilerplate block here bbb"),
+            ("u2", "ccc shared boilerplate block here ddd"),
+        ],
+        "doc_id string, text_norm string",
+    )
+    pairs = spark.createDataFrame(
+        [("u1", "u2")], "id_a string, id_b string"
+    )
+    got = exact_overlap(pairs, docs, min_len=10).collect()
+    assert len(got) == 1
+    assert got[0]["id_a"] == "u1" and got[0]["id_b"] == "u2"
