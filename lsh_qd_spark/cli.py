@@ -220,11 +220,7 @@ def run_batch(spark, args) -> dict:
     if args.redact_pii:
         from lsh_qd_spark.operators.redact import redact_docs
 
-        preps.append(
-            lambda df: redact_docs(
-                df, text_col=args.text_col, id_col=args.id_col
-            )
-        )
+        preps.append(lambda df: redact_docs(df, text_col=args.text_col))
     if args.drop_repetitive:
         from lsh_qd_spark.operators.repetition import remove_repetitive
 

@@ -32,8 +32,8 @@ def extract_text(html: Column) -> Column:
 
     Pure JVM regexp chain (no UDF, stays in whole-stage codegen):
     lenient UTF-8 (binary→string cast) → drop <script>/<style> subtrees →
-    take the <body> element → strip remaining tags → decode the five
-    standard HTML entities. A pure function of the bytes, so re-extraction is
+    drop HTML comments → take the <body> element → strip remaining tags →
+    decode the five standard HTML entities. A pure function of the bytes, so re-extraction is
     byte-identical per url across runs and parallelism levels — the
     input_hint invariant (tests/test_shingle.py pins round-trip equality
     against the synth pages table).
@@ -50,6 +50,13 @@ def extract_text(html: Column) -> Column:
     # otherwise start the body extraction inside the head and leak script
     # remnants into the text
     s = F.regexp_replace(s, r"(?is)<(script|style)[^>]*>.*?</\1>", "")
+    # HTML comments next — the COMMENT form of the same hazard: a
+    # commented-out "<body>" in the head (e.g. templating remnants) would
+    # otherwise start the body extraction inside the comment and leak
+    # head markup/title text into the extracted output. After the script
+    # strip, so legacy "<script><!-- code //--></script>" hiding markers
+    # are already gone and cannot open a bogus comment span here.
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", "")
     # Truncated captures without a closing </body> (routine in crawl WARCs)
     # must not drop the document: fall back to everything after <body>,
     # then to the whole markup (minus <head>) when no <body> exists at all.

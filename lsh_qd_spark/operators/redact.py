@@ -34,17 +34,38 @@ from pyspark.sql import functions as F
 
 # (name, pattern, replacement) — applied IN ORDER; the pattern strings are
 # shared verbatim with the DuckDB oracle twin (oracle.SQL_PII_REDACTION is
-# generated from this list), so the two engines cannot drift.
+# generated from this list), so the two engines cannot drift. Replacements
+# use JAVA group syntax ($1); the SQL generator translates $N -> \N for
+# RE2. Context guards are MATCH-AND-RESTORE groups — neither engine
+# supports lookaround (RE2 has none), so the boundary char is consumed by
+# the match and put back by the replacement. Known cost: two guarded
+# matches separated by a single boundary char (e.g. "1.2.3.4 5.6.7.8")
+# only redact the first, because the shared separator is consumed.
 PII_RULES: tuple[tuple[str, str, str], ...] = (
     # local@domain.tld — the unanchored classic; +/%/._- in the local part
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    # dotted-quad IPv4, word-bounded so it never eats into longer digit
-    # runs (\b is ASCII word boundary in both Java regex and RE2)
-    ("ipv4", r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
+    # dotted-quad IPv4. Guarded on BOTH sides: \b alone matched the first
+    # four octets of "1.2.3.4.5" (version strings) because '.' is a
+    # non-word char. The right guard admits end-of-string, any
+    # non-digit-non-dot, or a dot NOT followed by a digit (a sentence
+    # period after the address) — but never a fifth dotted group. Every
+    # alternative restores exactly what it consumed, so the alternation
+    # order cannot change the output across engines.
+    (
+        "ipv4",
+        r"(^|[^0-9.])(\d{1,3}(\.\d{1,3}){3})($|[^0-9.]|\.[^0-9]|\.$)",
+        "$1<IP>$4",
+    ),
     # international-format phone: +CC then 2-4 groups of 2-4 digits with
-    # optional single space/hyphen separators. Greedy with no alternation,
-    # so Java (backtracking) and RE2 (automaton) match identically.
-    ("phone", r"\+\d{1,3}([ -]?\d{2,4}){2,4}", "<PHONE>"),
+    # optional single space/hyphen separators. Left-guarded against
+    # digits/+/-: unguarded, "price 1+23 45 67" (arithmetic, ranges)
+    # redacted from the '+'. Greedy with no alternation, so Java
+    # (backtracking) and RE2 (automaton) match identically.
+    (
+        "phone",
+        r"(^|[^0-9+-])(\+\d{1,3}([ -]?\d{2,4}){2,4})",
+        "$1<PHONE>",
+    ),
 )
 
 
@@ -81,11 +102,10 @@ def pii_counts(text: Column) -> list[Column]:
     return pii_scrub(text)[0]
 
 
-def redact_docs(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """(id, n_<rule>… , redacted): the scrubbed corpus plus the audit
-    counts — all other input columns pass through untouched.
+def redact_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The scrubbed corpus plus per-rule ``n_<rule>`` audit counts — all
+    input columns other than ``text_col`` pass through untouched (no id
+    column is needed: the scrub is row-local).
 
     Re-run safe: pre-existing ``n_<rule>`` audit columns from an earlier
     redaction pass are replaced, not duplicated (the same convention as

@@ -14,7 +14,8 @@ Semantics (exact-count flavor, deterministic in both engines):
   the fraction of line occurrences beyond each line's first.
 - ``dup_line_char_frac`` = excess-occurrence characters / all line
   characters (same excess, weighted by line length).
-- ``top_{n}gram_char_frac`` = max over distinct word n-grams of
+- ``top_{n}gram_char_frac`` = max over REPEATED word n-grams (count ≥ 2;
+  a gram occurring once is not repetition — see ``_top_gram_chars``) of
   count × char_len(gram), divided by the character length of the
   token-joined text, saturated at 1.0 (overlapping occurrences of a
   self-overlapping gram — "spam spam" in "spam spam spam" — would
@@ -76,16 +77,21 @@ def _char_sum(arr: Column) -> Column:
     )
 
 
-# shared sliding-window n-gram expression (functions/text.py) — a short
-# doc (< n tokens) has no n-gram to repeat
-_word_grams = word_grams
-
-
 def _top_gram_chars(grams: Column) -> Column:
-    """max over distinct grams of count(gram) × char_len(gram), via a
-    run-length pass over the sorted array: as a run of equal grams
+    """max over REPEATED grams (count ≥ 2) of count(gram) × char_len(gram),
+    via a run-length pass over the sorted array: as a run of equal grams
     extends, run × len grows monotonically, so folding ``greatest`` at
-    each step captures every run's final value. 0 shuffles, all JVM."""
+    each step captures every run's final value. 0 shuffles, all JVM.
+
+    Runs of length 1 contribute 0: a gram that occurs ONCE is not
+    repetition — counting it meant every short document's longest n-gram
+    trivially covered >16-20% of its characters and remove_repetitive
+    deleted unrepetitive docs under ~25 tokens wholesale (Gopher applies
+    these thresholds only past a min-word-count gate). The SQL twin
+    filters ``c >= 2`` identically."""
+    run_now = lambda acc, x: F.when(  # noqa: E731 — shared by two fields
+        x == acc["prev"], acc["run"] + 1
+    ).otherwise(F.lit(1).cast("long"))
     return F.aggregate(
         F.array_sort(grams),
         F.struct(
@@ -95,17 +101,12 @@ def _top_gram_chars(grams: Column) -> Column:
         ),
         lambda acc, x: F.struct(
             x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1)
-            .otherwise(F.lit(1).cast("long"))
-            .alias("run"),
+            run_now(acc, x).alias("run"),
             F.greatest(
                 acc["best"],
-                (
-                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(
-                        F.lit(1).cast("long")
-                    )
-                )
-                * F.length(x),
+                F.when(
+                    run_now(acc, x) >= 2, run_now(acc, x) * F.length(x)
+                ).otherwise(F.lit(0).cast("long")),
             ).alias("best"),
         ),
         lambda acc: acc["best"],
@@ -142,10 +143,10 @@ def repetition_columns(
     for n in top_ngram_ns:
         out[f"top_{n}gram_char_frac"] = F.least(
             F.lit(1.0),
-            _frac(_top_gram_chars(_word_grams(toks, n)), total_chars),
+            _frac(_top_gram_chars(word_grams(toks, n)), total_chars),
         )
     for n in dup_ngram_ns:
-        g = _word_grams(toks, n)
+        g = word_grams(toks, n)
         out[f"dup_{n}gram_frac"] = _frac(
             F.size(g) - F.size(F.array_distinct(g)), F.size(g)
         )

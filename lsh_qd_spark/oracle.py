@@ -1051,9 +1051,13 @@ def _sql_pii_redaction() -> str:
     ctes = [f"r0 AS (SELECT doc_id, {_PII_AUG_SQL} AS t0 FROM documents)"]
     counts = []
     for i, (name, pat, repl) in enumerate(PII_RULES):
+        # group-reference translation: PII_RULES carries Java replacement
+        # syntax ($1); RE2 (DuckDB) wants \1. Mechanical, so the rules
+        # stay a single source of truth for both engines.
+        duck_repl = repl.replace("$", "\\")
         ctes.append(
             f"r{i + 1} AS (SELECT *, regexp_replace(t{i}, '{pat}', "
-            f"'{repl}', 'g') AS t{i + 1} FROM r{i})"
+            f"'{duck_repl}', 'g') AS t{i + 1} FROM r{i})"
         )
         counts.append(
             # COALESCE mirrors pii_scrub: NULL text audits as 0 matches
@@ -1191,8 +1195,11 @@ g2 AS (
   FROM base
 ),
 top2 AS (
+  -- c >= 2 mirrors operators/repetition._top_gram_chars: a gram that
+  -- occurs once is not repetition (short docs must not be flagged)
   SELECT doc_id, max(c * len(gram)) AS top_chars
   FROM (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2)
+  WHERE c >= 2
   GROUP BY doc_id
 )
 SELECT f.doc_id,

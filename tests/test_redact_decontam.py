@@ -154,3 +154,23 @@ def test_remove_contaminated_shuffle_fallback(spark):
         ).collect()
     )
     assert kept_b == kept_s == [2]
+
+
+def test_redaction_context_guards(spark):
+    """Guards against expression-like false positives: arithmetic '+'
+    runs are not phones, and version strings with five dotted groups are
+    not IPv4 (the old \\b boundary matched the first four octets)."""
+    df = spark.createDataFrame(
+        [
+            (1, "price 1+23 45 67 total"),
+            (2, "version 1.2.3.4.5 released"),
+            (3, "call +33 12 34 56 now"),
+            (4, "host 10.0.0.1 up"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in redact_docs(df).collect()}
+    assert got[1] == "price 1+23 45 67 total"  # untouched
+    assert got[2] == "version 1.2.3.4.5 released"  # untouched
+    assert got[3] == "call <PHONE> now"
+    assert got[4] == "host <IP> up"

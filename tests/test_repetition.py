@@ -54,9 +54,9 @@ def test_hand_computed_cases(spark):
     assert got[2]["dup_line_frac"] == pytest.approx(1 / 3, rel=REL)
     assert got[2]["dup_line_char_frac"] == pytest.approx(1 / 3, rel=REL)
 
-    # unique 2-grams: max coverage is the longest 2-gram once = 5 chars
-    # of len("w0 w1 ... wb") = 35 chars
-    assert got[3]["top_2gram_char_frac"] == pytest.approx(5 / 35, rel=REL)
+    # unique 2-grams: nothing repeats (count >= 2 gate), so coverage is 0
+    # — a doc with no repetition must never score on the top-gram feature
+    assert got[3]["top_2gram_char_frac"] == 0.0
     assert got[3]["dup_5gram_frac"] == 0.0
 
     assert got[4]["top_2gram_char_frac"] == 1.0  # saturated
@@ -87,8 +87,10 @@ def py_features(text: str, top_n: int, dup_n: int) -> dict:
     out["dup_line_char_frac"] = (s_all - s_dist) / s_all if s_all else 0.0
     total = len(" ".join(toks))
     g = grams(top_n)
+    # count >= 2: a gram occurring once is not repetition (mirrors
+    # _top_gram_chars and the SQL twin's WHERE c >= 2)
     best = max(
-        (g.count(x) * len(x) for x in set(g)), default=0
+        (g.count(x) * len(x) for x in set(g) if g.count(x) >= 2), default=0
     )
     out[f"top_{top_n}gram_char_frac"] = (
         min(1.0, best / total) if total else 0.0
@@ -218,3 +220,21 @@ def test_oracle_repetition_scores_survives_empty_docs(spark, tmp_path):
     docs.write.parquet(f"{sf_dir}/documents.parquet")
     got = q_repetition_scores(spark, sf_dir).collect()
     assert sorted(r["doc_id"] for r in got) == [1]
+
+
+def test_short_unrepetitive_doc_survives_gopher_filter(spark):
+    """A short document with zero repetition must NOT be dropped: with
+    single occurrences counting as 'repetition', any doc under ~25 tokens
+    had its longest n-gram trivially covering >16-20% of the characters
+    and remove_repetitive deleted it wholesale."""
+    from lsh_qd_spark.operators.repetition import remove_repetitive
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),  # 10 distinct tokens, no repeats
+            (2, "spam spam spam spam spam spam spam spam"),  # pure repeat
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in remove_repetitive(df).collect()}
+    assert kept == {1}

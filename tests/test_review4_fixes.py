@@ -226,3 +226,31 @@ def test_extract_text_malformed_utf8_and_tag_boundary(spark):
     }
     for i, _, want in cases:
         assert got[i] == want, (i, got[i])
+
+
+def test_extract_text_strips_html_comments(spark):
+    """A commented-out <body> in the head must not hijack the body
+    extraction (the comment form of the script-literal hazard the chain
+    already guards): comments are stripped before the body match."""
+    from lsh_qd_spark.functions.text import extract_text
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                b"<html><head><!-- <body>commented --><title>T</title>"
+                b"</head><body>RealC</body></html>",
+            ),
+            # comment inside the body: content around it survives
+            (2, b"<body>keep <!-- drop this -->also</body>"),
+        ],
+        "doc_id long, html binary",
+    )
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", extract_text(F.col("html")).alias("t")
+        ).collect()
+    }
+    assert got[1] == "RealC"
+    assert got[2] == "keep also"
