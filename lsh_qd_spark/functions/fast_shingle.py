@@ -48,21 +48,15 @@ _B = np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit golden-ratio multiplier
 
 
 def shingle_set(text: str | None, k: int) -> np.ndarray | None:
-    """Distinct k-gram shingle ids (uint64) of one document; None if empty."""
-    if not text:
-        return None
-    toks = text.lower().split()
-    n = len(toks)
-    if n == 0:
-        return None
-    c = np.fromiter(
-        (zlib.crc32(t.encode()) for t in toks), dtype=np.uint64, count=n
-    )
-    m = min(n, k)
-    acc = np.zeros(n - m + 1, dtype=np.uint64)
-    for j in range(m):
-        acc = acc * _B + c[j : n - m + 1 + j]
-    return np.unique(acc)
+    """Distinct k-gram shingle ids (uint64) of one document; None if empty.
+
+    Delegates to the object tokenizer rather than re-implementing the
+    tokenize→crc32→rolling-combine invariant a third time: every copy of
+    that loop must stay bit-identical for the scalar-vs-batch parity the
+    module's tests pin, so there is exactly one scalar-path definition
+    (``_shingle_windows_objects``)."""
+    w = _shingle_windows_objects([text], k)[0]
+    return None if w is None else np.unique(w)
 
 
 def shingle_sets(texts, k: int) -> list:

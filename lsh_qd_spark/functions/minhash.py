@@ -44,10 +44,15 @@ def reference_coefficients(
     a_list, b_list = [], []
     for _ in range(num_bands):
         for _ in range(rows_per_band):
-            a = np.random.randint(0, REF_MAX_VAL)
+            # explicit int64: the default bound dtype is platform int_ —
+            # 32-bit on Windows/numpy 1.x, where REF_MAX_VAL overflows it
+            # and randint raises before drawing. int64 IS the Linux
+            # default, so the draw stream (and reference parity) is
+            # unchanged where the tests run.
+            a = np.random.randint(0, REF_MAX_VAL, dtype=np.int64)
             b = a
             while b == a:
-                b = np.random.randint(0, REF_MAX_VAL)
+                b = np.random.randint(0, REF_MAX_VAL, dtype=np.int64)
             a_list.append(a)
             b_list.append(b)
     return np.asarray(a_list, dtype=np.int64), np.asarray(b_list, dtype=np.int64)

@@ -88,6 +88,10 @@ def probe_keys_for_query(
     keys = [base]
     # generate extra sets (coordinate-validity filtered below)
     for s in perturbation_sets(scores, max_sets=4 * n_probes + 8):
+        # budget check BEFORE appending: checking after meant n_probes=0
+        # (degrade-to-single-probe) still emitted one perturbed probe
+        if len(keys) - 1 >= n_probes:
+            break
         coords = [c // 2 for c in s]
         if len(set(coords)) != len(coords):
             continue  # both directions of one coordinate — invalid
@@ -95,8 +99,6 @@ def probe_keys_for_query(
         for c in s:
             key[c // 2] += 1 if c % 2 == 0 else -1
         keys.append(key)
-        if len(keys) - 1 >= n_probes:
-            break
     return keys
 
 

@@ -65,6 +65,14 @@ def _auto_fetch(
     runs: at most ``broadcast_ids_cap`` texts land in (distributed,
     reference-tracked) executor storage — comparable bytes to what the
     candidate_shuffle joins move anyway, and never driver-resident."""
+    # eager checkpoint FIRST: ``ids`` (a union+distinct shuffle over the
+    # pairs table) has two consumers here — the count gate and the
+    # broadcast semi-join build — and an uncheckpointed plan runs that
+    # wide stage twice per verify call. In the over-cap (shuffle-mode)
+    # outcome the materialized id blocks go unused, but they are
+    # reference-tracked (freed with the plan) and ids-only rows are tiny
+    # relative to the two corpus scans that mode is about to pay.
+    ids = ids.localCheckpoint(eager=True)
     n_ids = ids.count()
     if n_ids > broadcast_ids_cap:
         # the one mode that rescans + reshuffles the whole corpus twice —

@@ -116,3 +116,16 @@ def test_alpha_multiprobe_superset_of_single_probe(fixture):
     }
     assert len(multi & truth) >= len(single & truth)
     assert len(multi & truth) / len(truth) >= 0.8
+
+
+def test_zero_probes_means_base_bucket_only():
+    """n_probes=0 is the degrade-to-single-probe setting: exactly the
+    base key per band, no perturbed probes (the budget check used to run
+    only after appending, emitting one extra probe)."""
+    import numpy as np
+
+    from lsh_qd_spark.functions.multiprobe import probe_keys_for_query
+
+    keys = probe_keys_for_query(np.array([1.3, 2.7]), 2, 0)
+    assert len(keys) == 1
+    assert keys[0].tolist() == [1, 2]
