@@ -44,6 +44,11 @@ from lsh_qd_spark.operators.band import band_buckets
 from lsh_qd_spark.operators.pairs import candidate_pairs
 from lsh_qd_spark.operators.suffix import exact_overlap
 from lsh_qd_spark.oracle import (
+    # ANN_N_QUERIES/ANN_TOP_K are shared with the brute-force twin
+    # ann_cosine_topk: re-declaring them here would let a retune of the
+    # oracle's query set silently desynchronize approximate-vs-exact
+    ANN_N_QUERIES,
+    ANN_TOP_K,
     DUCK_COSINE,
     ORACLE_CFG,
     _docs,
@@ -59,11 +64,6 @@ SIMHASH_MAX_HAMMING = N_CHUNKS - 1
 PSTABLE_R = 4.0
 PSTABLE_NUM_HASHES = 8
 SUFFIX_MIN_OVERLAP = 40
-# shared with the brute-force twin ann_cosine_topk: re-declaring these
-# would let a retune of the oracle's query set silently desynchronize the
-# approximate-vs-exact comparison
-from lsh_qd_spark.oracle import ANN_N_QUERIES, ANN_TOP_K  # noqa: E402
-
 ANN_N_TABLES = 12
 ANN_BITS_PER_TABLE = 8
 EMB_DIMS = 64
@@ -187,7 +187,11 @@ def _sql_pstable_buckets() -> str:
     )
     return f"""
 WITH sigs AS (
+  -- the NULL/empty guard mirrors the Spark side: make_pstable_udf hashes
+  -- dead embeddings to a NULL sig and band_buckets drops them; without
+  -- this filter DuckDB would fold NULL band_keys and GROUP them together
   SELECT vec_id AS doc_id, {sig_cols} FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
 ),
 bands AS (
   {band_selects}

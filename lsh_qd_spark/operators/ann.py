@@ -106,15 +106,23 @@ def make_hyperplane_udf(planes: np.ndarray, bits_per_table: int):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def hyperplane(emb: pd.Series) -> pd.Series:
-        mats = [np.asarray(x, dtype=np.float64) for x in emb]
-        if not mats:
-            return pd.Series([], dtype=object)
-        x = np.stack(mats)
-        signs = (x @ planes.T) > 0  # (n, tables*bits)
-        keys = (
-            signs.reshape(len(mats), n_tables, bits_per_table) * weights
-        ).sum(axis=2)
-        return pd.Series([row.tolist() for row in keys.astype(np.int64)])
+        # NULL/empty embeddings hash to NULL (the signature null-guard
+        # convention, functions/pstable.py — posexplode then emits no
+        # bucket rows); np.stack on a mixed batch would otherwise kill
+        # the whole task with a shape error
+        ok = [i for i, x in enumerate(emb) if x is not None and len(x) > 0]
+        rows: list = [None] * len(emb)
+        if ok:
+            x = np.stack(
+                [np.asarray(emb.iloc[i], dtype=np.float64) for i in ok]
+            )
+            signs = (x @ planes.T) > 0  # (n, tables*bits)
+            keys = (
+                signs.reshape(len(ok), n_tables, bits_per_table) * weights
+            ).sum(axis=2).astype(np.int64)
+            for j, i in enumerate(ok):
+                rows[i] = keys[j].tolist()
+        return pd.Series(rows)
 
     return hyperplane
 
@@ -141,13 +149,19 @@ def make_ivf_cells_udf(centroids: np.ndarray, nprobe: int):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def cells(emb: pd.Series) -> pd.Series:
-        mats = [np.asarray(x, dtype=np.float64) for x in emb]
-        if not mats:
-            return pd.Series([], dtype=object)
-        d = np.stack(mats) @ cents.T  # (n, C)
-        # stable argsort on -d: equal dots keep ascending cell order
-        order = np.argsort(-d, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series([row.tolist() for row in order.astype(np.int64)])
+        # same NULL/empty guard as make_hyperplane_udf / pstable
+        ok = [i for i, x in enumerate(emb) if x is not None and len(x) > 0]
+        rows: list = [None] * len(emb)
+        if ok:
+            d = np.stack(
+                [np.asarray(emb.iloc[i], dtype=np.float64) for i in ok]
+            ) @ cents.T  # (n, C)
+            # stable argsort on -d: equal dots keep ascending cell order
+            order = np.argsort(-d, axis=1, kind="stable")[:, :nprobe]
+            order = order.astype(np.int64)
+            for j, i in enumerate(ok):
+                rows[i] = order[j].tolist()
+        return pd.Series(rows)
 
     return cells
 

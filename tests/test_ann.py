@@ -106,3 +106,23 @@ def test_zero_norm_embedding_excluded_not_fatal(spark):
     # the dead row as the QUERY side: every cosine is NULL -> no rows,
     # not a job abort
     assert brute_force_topk(df, df.where("vec_id = 2"), k=5).collect() == []
+
+
+def test_null_embedding_row_not_fatal_in_lsh_and_ivf(spark):
+    """A NULL (or empty) embedding row must not abort the bucketing UDFs:
+    np.stack on a mixed batch raises a shape error that kills the task.
+    NULL rows hash to NULL keys and posexplode drops them — the same
+    null-sig convention as functions/pstable.py."""
+    from lsh_qd_spark.operators.ann import ivf_topk, lsh_topk
+
+    rows = [(i, [float(i), 1.0, 0.5, 0.2]) for i in range(8)]
+    rows.append((97, None))
+    rows.append((98, []))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where("vec_id = 0")
+    got = lsh_topk(df, q, k=3, n_tables=4, bits_per_table=4, n_dims=4)
+    ids = {r["neighbor_id"] for r in got.collect()}
+    assert ids and 97 not in ids and 98 not in ids
+    got2 = ivf_topk(df, q, k=3, n_centroids=4, nprobe=4, n_dims=4)
+    ids2 = {r["neighbor_id"] for r in got2.collect()}
+    assert ids2 and 97 not in ids2 and 98 not in ids2
