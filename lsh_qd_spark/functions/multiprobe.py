@@ -87,6 +87,11 @@ def probe_keys_for_query(
     scores[1::2] = frac**2  # -1 direction
     keys = [base]
     # generate extra sets (coordinate-validity filtered below)
+    if n_probes <= 0:
+        # degrade-to-single-probe: skip the heap generation entirely —
+        # the loop below would build and discard ~8 perturbation sets
+        # per band per query row in the hot UDF
+        return keys
     for s in perturbation_sets(scores, max_sets=4 * n_probes + 8):
         # budget check BEFORE appending: checking after meant n_probes=0
         # (degrade-to-single-probe) still emitted one perturbed probe

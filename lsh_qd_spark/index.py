@@ -70,6 +70,26 @@ class LSHIndex:
         reference's ``hash``, one tqdm row at a time there, one job here)."""
         from lsh_qd_spark.io import check_compat_meta, write_compat_meta, write_stage
 
+        # a STREAMING-built index (epoch=N/shard=M layout) is queryable
+        # here but not batch-appendable: this path writes top-level
+        # shard= partitions, and the mixed directory layout breaks Spark
+        # partition discovery ("conflicting partition column names") for
+        # every later reader. Refuse loudly — streaming appends go
+        # through IncrementalDedup, whose epoch-partitioned writes stay
+        # replay-idempotent.
+        from lsh_qd_spark.io import is_path_ref, list_child_names
+
+        if is_path_ref(self.index_ref) and any(
+            f.startswith("epoch=")
+            for f in list_child_names(self.index_ref, docs.sparkSession)
+        ):
+            raise RuntimeError(
+                f"index at {self.index_ref!r} is streaming-built "
+                f"(epoch=/shard= partitions); batch append would write a "
+                f"conflicting top-level shard= layout and make the index "
+                f"unreadable. Append new documents through "
+                f"IncrementalDedup(work_dir=...) instead."
+            )
         # appending new-kernel keys into an old-kernel index would split
         # identical buckets into disjoint keys — fail loudly instead; an
         # existing index with NO marker is equally unappendable (unknown

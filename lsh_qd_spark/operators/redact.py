@@ -32,29 +32,37 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# (name, pattern, replacement) — applied IN ORDER; the pattern strings are
-# shared verbatim with the DuckDB oracle twin (oracle.SQL_PII_REDACTION is
-# generated from this list), so the two engines cannot drift. Replacements
-# use JAVA group syntax ($1); the SQL generator translates $N -> \N for
-# RE2. Context guards are MATCH-AND-RESTORE groups — neither engine
-# supports lookaround (RE2 has none), so the boundary char is consumed by
-# the match and put back by the replacement. Known cost: two guarded
-# matches separated by a single boundary char (e.g. "1.2.3.4 5.6.7.8")
-# only redact the first, because the shared separator is consumed.
-PII_RULES: tuple[tuple[str, str, str], ...] = (
+# (name, pattern, replacement, n_passes) — applied IN ORDER; the pattern
+# strings are shared verbatim with the DuckDB oracle twin
+# (oracle.SQL_PII_REDACTION is generated from this list), so the two
+# engines cannot drift. Replacements use JAVA group syntax ($1); the SQL
+# generator translates $N -> \N for RE2. Context guards are
+# MATCH-AND-RESTORE groups — neither engine supports lookaround (RE2 has
+# none), so the boundary char is consumed by the match and put back by
+# the replacement. ``n_passes``: a consumed separator hides an
+# IMMEDIATELY adjacent second match ("1.2.3.4 5.6.7.8" — the shared
+# space is eaten by the first match's right guard), so guarded rules run
+# a second pass; two passes reach every member of any adjacency chain
+# (pass one takes alternating members, which un-adjacents the rest).
+PII_RULES: tuple[tuple[str, str, str, int], ...] = (
     # local@domain.tld — the unanchored classic; +/%/._- in the local part
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    # dotted-quad IPv4. Guarded on BOTH sides: \b alone matched the first
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>", 1),
+    # dotted-quad IPv4. Guarded on BOTH sides with the \b-equivalent
+    # class [^0-9A-Za-z_.] PLUS dot-exclusion: \b alone matched the first
     # four octets of "1.2.3.4.5" (version strings) because '.' is a
-    # non-word char. The right guard admits end-of-string, any
-    # non-digit-non-dot, or a dot NOT followed by a digit (a sentence
-    # period after the address) — but never a fifth dotted group. Every
-    # alternative restores exactly what it consumed, so the alternation
-    # order cannot change the output across engines.
+    # non-word char, while a bare non-digit guard would over-redact
+    # letter-adjacent quads ("v1.2.3.4") that \b correctly skipped. The
+    # right guard admits end-of-string, a non-word-non-dot char, or a dot
+    # NOT followed by a word char (a sentence period) — never a fifth
+    # dotted group or a trailing identifier. Every alternative restores
+    # exactly what it consumed, so alternation order cannot change the
+    # output across engines.
     (
         "ipv4",
-        r"(^|[^0-9.])(\d{1,3}(\.\d{1,3}){3})($|[^0-9.]|\.[^0-9]|\.$)",
+        r"(^|[^0-9A-Za-z_.])(\d{1,3}(\.\d{1,3}){3})"
+        r"($|[^0-9A-Za-z_.]|\.[^0-9A-Za-z_.]|\.$)",
         "$1<IP>$4",
+        2,
     ),
     # international-format phone: +CC then 2-4 groups of 2-4 digits with
     # optional single space/hyphen separators. Left-guarded against
@@ -65,16 +73,19 @@ PII_RULES: tuple[tuple[str, str, str], ...] = (
         "phone",
         r"(^|[^0-9+-])(\+\d{1,3}([ -]?\d{2,4}){2,4})",
         "$1<PHONE>",
+        2,
     ),
 )
 
 
 def redact_pii(text: Column) -> Column:
     """``text`` with every PII_RULES match replaced by its placeholder
-    (rules applied in order). NULL stays NULL."""
+    (rules applied in order, guarded rules in two passes). NULL stays
+    NULL."""
     out = text
-    for _, pat, repl in PII_RULES:
-        out = F.regexp_replace(out, pat, repl)
+    for _, pat, repl, n_passes in PII_RULES:
+        for _ in range(n_passes):
+            out = F.regexp_replace(out, pat, repl)
     return out
 
 
@@ -88,11 +99,16 @@ def pii_scrub(text: Column) -> tuple[list[Column], Column]:
     counts silently mis-handle rows; the redacted text itself stays NULL."""
     cur = text
     counts = []
-    for _, pat, repl in PII_RULES:
-        counts.append(
-            F.coalesce(F.regexp_count(cur, F.lit(pat)), F.lit(0))
-        )
-        cur = F.regexp_replace(cur, pat, repl)
+    for _, pat, repl, n_passes in PII_RULES:
+        # per-pass count-then-replace, summed: pass 2 catches (and must
+        # audit) matches whose shared separator pass 1 consumed
+        rule_count = F.lit(0)
+        for _ in range(n_passes):
+            rule_count = rule_count + F.coalesce(
+                F.regexp_count(cur, F.lit(pat)), F.lit(0)
+            )
+            cur = F.regexp_replace(cur, pat, repl)
+        counts.append(rule_count)
     return counts, cur
 
 
@@ -114,7 +130,7 @@ def redact_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     columns and break every downstream reference with
     AMBIGUOUS_REFERENCE."""
     t = F.col(text_col)
-    audit_cols = {f"n_{name}" for name, _, _ in PII_RULES}
+    audit_cols = {f"n_{name}" for name, *_ in PII_RULES}
     cols = [
         F.col(c) for c in docs.columns
         if c != text_col and c not in audit_cols
@@ -122,6 +138,6 @@ def redact_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     raw_counts, redacted = pii_scrub(t)
     counts = [
         c.cast("long").alias(f"n_{name}")
-        for c, (name, _, _) in zip(raw_counts, PII_RULES)
+        for c, (name, *_) in zip(raw_counts, PII_RULES)
     ]
     return docs.select(*cols, *counts, redacted.alias(text_col))

@@ -113,6 +113,8 @@ def exact_overlap(
     from lsh_qd_spark.config import VERIFY_BROADCAST_IDS_CAP
     from lsh_qd_spark.operators.verify import _auto_fetch
 
+    if fetch not in ("auto", "broadcast_ids", "shuffle"):
+        raise ValueError(f"unknown fetch mode: {fetch!r}")
     t = docs.select(F.col(id_col).alias("_vid"), F.col(text_col).alias("_vtx"))
     ids = (
         pairs.select(F.col("id_a").alias("_vid"))
@@ -125,6 +127,12 @@ def exact_overlap(
         )
         if tchk is not None:
             t = tchk
+    elif fetch == "broadcast_ids":
+        # explicit mode mirrors verify_pairs_text: broadcast the
+        # CANDIDATE texts (semi-join first), never the whole corpus
+        t = t.join(F.broadcast(ids), "_vid", "left_semi").localCheckpoint(
+            eager=True
+        )
 
     def side(alias: str):
         s = t.withColumnRenamed("_vid", alias)

@@ -1026,7 +1026,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_counts, redacted = pii_scrub(_pii_augmented_spark())
     counts = [
         c.cast("long").alias(f"n_{name}")
-        for c, (name, _, _) in zip(raw_counts, PII_RULES)
+        for c, (name, *_) in zip(raw_counts, PII_RULES)
     ]
     return docs.select("doc_id", *counts, redacted.alias("redacted"))
 
@@ -1040,25 +1040,30 @@ def _sql_pii_redaction() -> str:
 
     ctes = [f"r0 AS (SELECT doc_id, {_PII_AUG_SQL} AS t0 FROM documents)"]
     counts = []
-    for i, (name, pat, repl) in enumerate(PII_RULES):
+    step = 0
+    for name, pat, repl, n_passes in PII_RULES:
         # group-reference translation: PII_RULES carries Java replacement
         # syntax ($1); RE2 (DuckDB) wants \1. Mechanical, so the rules
         # stay a single source of truth for both engines.
         duck_repl = repl.replace("$", "\\")
-        ctes.append(
-            f"r{i + 1} AS (SELECT *, regexp_replace(t{i}, '{pat}', "
-            f"'{duck_repl}', 'g') AS t{i + 1} FROM r{i})"
-        )
-        counts.append(
-            # COALESCE mirrors pii_scrub: NULL text audits as 0 matches
-            f"CAST(COALESCE(len(regexp_extract_all(t{i}, '{pat}')), 0) "
-            f"AS BIGINT) AS n_{name}"
-        )
-    n = len(PII_RULES)
+        # one CTE per PASS (pii_scrub's loop), count summed across passes
+        pass_counts = []
+        for _ in range(n_passes):
+            pass_counts.append(
+                # COALESCE mirrors pii_scrub: NULL text audits as 0 matches
+                f"CAST(COALESCE(len(regexp_extract_all(t{step}, '{pat}')), "
+                f"0) AS BIGINT)"
+            )
+            ctes.append(
+                f"r{step + 1} AS (SELECT *, regexp_replace(t{step}, "
+                f"'{pat}', '{duck_repl}', 'g') AS t{step + 1} FROM r{step})"
+            )
+            step += 1
+        counts.append(" + ".join(pass_counts) + f" AS n_{name}")
     return (
         "WITH " + ",\n".join(ctes) + "\nSELECT doc_id, "
         + ", ".join(counts)
-        + f", t{n} AS redacted FROM r{n}"
+        + f", t{step} AS redacted FROM r{step}"
     )
 
 

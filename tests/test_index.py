@@ -254,3 +254,19 @@ def test_exists_recognizes_streaming_layout(spark, corpus, tmp_path):
     inc.process_batch(corpus.limit(50), epoch_id=0)
     idx = LSHIndex(cfg, inc.index_dir, n_shards=inc.n_shards)
     assert idx.exists(spark)
+
+
+def test_batch_append_to_streaming_index_refuses(spark, corpus, tmp_path):
+    """Batch append writes top-level shard= partitions; on a
+    streaming-built (epoch=/shard=) index that produces a conflicting
+    partition layout Spark can never read again — refuse loudly and
+    point at IncrementalDedup."""
+    from lsh_qd_spark.streaming.incremental import IncrementalDedup
+
+    work = str(tmp_path / "work")
+    cfg = DedupConfig(rows_per_band=2, num_bands=8)
+    inc = IncrementalDedup(cfg, work)
+    inc.process_batch(corpus.limit(50), epoch_id=0)
+    idx = LSHIndex(cfg, inc.index_dir, n_shards=inc.n_shards)
+    with pytest.raises(RuntimeError, match="IncrementalDedup"):
+        idx.append(corpus.limit(10))

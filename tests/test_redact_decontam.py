@@ -174,3 +174,32 @@ def test_redaction_context_guards(spark):
     assert got[2] == "version 1.2.3.4.5 released"  # untouched
     assert got[3] == "call <PHONE> now"
     assert got[4] == "host <IP> up"
+
+
+def test_adjacent_ips_both_redacted_and_word_adjacent_skipped(spark):
+    """Two-pass guarded rules: the first match's right guard consumes the
+    shared separator, so a single pass left the second of two adjacent
+    IPs verbatim in the shipped corpus (a PII-leak regression vs \\b).
+    And the \\b-equivalent guard classes must not over-redact
+    letter/underscore-adjacent quads the old \\b rule correctly skipped."""
+    df = spark.createDataFrame(
+        [
+            (1, "src 1.2.3.4 5.6.7.8 dst"),
+            (2, "csv 1.2.3.4,5.6.7.8 end"),
+            (3, "chain 1.1.1.1 2.2.2.2 3.3.3.3 done"),
+            (4, "v1.2.3.4 build_1.2.3.4 1.2.3.4beta"),  # all identifiers
+            (5, "phones +33 12 34 56 +44 20 79 46 end"),
+        ],
+        "doc_id long, text string",
+    )
+    out = redact_docs(df)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["text"] == "src <IP> <IP> dst"
+    assert got[1]["n_ipv4"] == 2
+    assert got[2]["text"] == "csv <IP>,<IP> end"
+    assert got[3]["text"] == "chain <IP> <IP> <IP> done"
+    assert got[3]["n_ipv4"] == 3
+    assert got[4]["text"] == "v1.2.3.4 build_1.2.3.4 1.2.3.4beta"
+    assert got[4]["n_ipv4"] == 0
+    assert got[5]["text"] == "phones <PHONE> <PHONE> end"
+    assert got[5]["n_phone"] == 2

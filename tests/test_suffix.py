@@ -106,3 +106,25 @@ def test_exact_overlap_string_ids(spark):
     got = exact_overlap(pairs, docs, min_len=10).collect()
     assert len(got) == 1
     assert got[0]["id_a"] == "u1" and got[0]["id_b"] == "u2"
+
+
+def test_exact_overlap_fetch_modes(spark):
+    """Explicit fetch='broadcast_ids' must broadcast CANDIDATE texts
+    (semi-joined), matching verify_pairs_text; unknown modes raise."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa shared boilerplate block here bbb"),
+            (2, "ccc shared boilerplate block here ddd"),
+            (3, "unrelated filler content row xyz"),
+        ],
+        "doc_id long, text_norm string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = exact_overlap(
+        pairs, docs, min_len=10, fetch="broadcast_ids"
+    ).collect()
+    assert len(got) == 1 and got[0]["id_a"] == 1
+    with pytest.raises(ValueError, match="unknown fetch"):
+        exact_overlap(pairs, docs, min_len=10, fetch="bogus")
