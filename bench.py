@@ -582,6 +582,11 @@ def _run_worker(
     sizes."""
     out_path = f"/tmp/lsh_qd_bench_scale_{cpus}{tag}.json"
     cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(cpus), out_path]
+    if n_docs and not n_trials:
+        # the worker protocol is positional (trials then docs): silently
+        # dropping n_docs here would benchmark the DEFAULT corpus while
+        # the caller labels the result with its requested size
+        raise ValueError("_run_worker: n_docs requires an explicit n_trials")
     if n_trials:
         cmd.append(str(n_trials))
         if n_docs:
@@ -651,6 +656,37 @@ def run_scaling(deadline: float | None = None) -> dict:
         probes.append(round_probe or weather_probe())
         ratios.append((secs[n] / secs[n4]) / (n4 / n))
 
+    def _snapshot() -> dict:
+        """The scaling dict as it would be reported if the run ended NOW
+        — medians over the rounds completed so far."""
+        n_sec, n4_sec = _median(trials[n]), _median(trials[n4])
+        return {
+            "n_pages": n_pages,
+            "cpus_n": n,
+            "cpus_4n": n4,
+            "n_sec": round(n_sec, 2),
+            "4n_sec": round(n4_sec, 2),
+            "n_pages_per_sec": round(n_pages / n_sec, 1),
+            "4n_pages_per_sec": round(n_pages / n4_sec, 1),
+            "scaling_efficiency_n_to_4n": round(_median(ratios), 3),
+            "round_ratios": [round(r, 3) for r in ratios],
+            "round_probes": probes,
+            # raw per-level trials travel IN the payload (the /tmp worker
+            # files BASELINE.md's trials table reads are wiped on host
+            # reboot, which silently emptied the table once)
+            "n_trials": [round(t, 2) for t in trials[n]],
+            "4n_trials": [round(t, 2) for t in trials[n4]],
+            # achieved task concurrency (executor-task-sec / wall-sec,
+            # median across rounds): the host-independent scaling
+            # instrument — ~cpus at both levels means the ENGINE filled
+            # every granted slot and any wall-clock ratio shortfall is
+            # the host's grant, not the plan
+            "n_achieved_concurrency": _median(concs[n]) if concs[n] else None,
+            "4n_achieved_concurrency": (
+                _median(concs[n4]) if concs[n4] else None
+            ),
+        }
+
     for i in range(SCALE_TRIALS):
         t_round = time.time()
         try:
@@ -660,6 +696,15 @@ def run_scaling(deadline: float | None = None) -> dict:
             if not ratios:
                 raise
             break
+        # ratchet EVERY completed round, not only at phase end: the
+        # driver's _preempt_foreign_benches SIGTERMs an in-flight watcher
+        # attempt, and an end-of-phase-only ratchet would discard the
+        # quiet-window rounds the watch exists to catch (the preemption
+        # comment promises per-round persistence — this makes it true)
+        try:
+            update_best_scaling(_snapshot())
+        except Exception as e:  # never let ratcheting kill the phase
+            sys.stderr.write(f"per-round ratchet failed: {e}\n")
         round_cost = time.time() - t_round
         if (
             deadline is not None
@@ -683,31 +728,7 @@ def run_scaling(deadline: float | None = None) -> dict:
         # persist aggregated per-level results for the BASELINE.md table
         with open(f"/tmp/lsh_qd_bench_scale_{cpus}.json", "w") as f:
             json.dump(results[cpus], f)
-    rate_n = results[n]["n_pages"] / results[n]["sec"]
-    rate_4n = results[n4]["n_pages"] / results[n4]["sec"]
-    out = {
-        "n_pages": results[n]["n_pages"],
-        "cpus_n": n,
-        "cpus_4n": n4,
-        "n_sec": round(results[n]["sec"], 2),
-        "4n_sec": round(results[n4]["sec"], 2),
-        "n_pages_per_sec": round(rate_n, 1),
-        "4n_pages_per_sec": round(rate_4n, 1),
-        "scaling_efficiency_n_to_4n": round(_median(ratios), 3),
-        "round_ratios": [round(r, 3) for r in ratios],
-        "round_probes": probes,
-        # raw per-level trials travel IN the payload (the /tmp worker files
-        # BASELINE.md's trials table reads are wiped on host reboot, which
-        # silently emptied the table once)
-        "n_trials": [round(t, 2) for t in trials[n]],
-        "4n_trials": [round(t, 2) for t in trials[n4]],
-        # achieved task concurrency (executor-task-sec / wall-sec, median
-        # across rounds): the host-independent scaling instrument — ~cpus
-        # at both levels means the ENGINE filled every granted slot and
-        # any wall-clock ratio shortfall is the host's grant, not the plan
-        "n_achieved_concurrency": _median(concs[n]) if concs[n] else None,
-        "4n_achieved_concurrency": _median(concs[n4]) if concs[n4] else None,
-    }
+    out = _snapshot()
     # Within-grant fallback pair: when EVERY primary round ran under a bad
     # grant (host giving < PROBE_MIN_CORES of the 4N request), the 4→16
     # ratio measures the hypervisor, not the engine. Measure one round of
@@ -1759,11 +1780,19 @@ def main() -> None:
     headline_trials: list[float] = []
     headline_cpus = CPUS
     if scaling_only:
-        with open(payload_cache) as f:
-            prev = json.load(f)
-        times = prev["queries"]
-        n_pages = prev["bench_docs"]
-        pages_per_sec = prev["pages_per_sec"]
+        # defensive .get()s: a watchdog that fired before the pre-scaling
+        # payload write leaves a reduced-schema payload on disk (no
+        # bench_docs/pages_per_sec/headline_trials); hard indexing would
+        # then fail EVERY later --scaling-only attempt until a full bench
+        # completes — exactly the runs the watcher exists to make
+        try:
+            with open(payload_cache) as f:
+                prev = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+        times = prev.get("queries") or {}
+        n_pages = prev.get("bench_docs") or BENCH_DOCS
+        pages_per_sec = prev.get("pages_per_sec")
         headline_trials = prev.get("headline_trials") or []
         # keep the trials labeled with the parallelism they were measured
         # at, not this process's CPUS (legacy payloads lack the key)

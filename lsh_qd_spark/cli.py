@@ -25,8 +25,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+from lsh_qd_spark.io import is_path_ref as io_is_path_ref
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -314,8 +317,13 @@ def run_batch(spark, args) -> dict:
                         require_marker=True,
                     )
                     reusable = True
-                except RuntimeError:
-                    reusable = False  # different flags/input — rebuild
+                except (RuntimeError, ValueError):
+                    # RuntimeError: different flags/input — rebuild.
+                    # ValueError (JSONDecodeError): a marker truncated by
+                    # a mid-write crash — rebuilding is the safe recovery
+                    # (treating it as a startup crash made the corruption
+                    # a permanent failure loop until hand-deleted).
+                    reusable = False
             if not reusable:
                 for prep in preps:
                     pages = prep(pages)
@@ -421,8 +429,10 @@ def run_streaming(spark, args) -> dict:
     sd = stream_dedup(make_config(args), args.checkpoint_dir, mode=args.mode)
     q = sd.start(spark, args.input)
     q.awaitTermination()
-    save_progress(q, args.checkpoint_dir)
     pages = read_pages(spark, args.input)
+    # results BEFORE telemetry: save_progress is the least important
+    # artifact of the run, and any failure in it must not discard the
+    # completed stream's verified/clusters/survivors tables.
     # clusters=None: verified is written FIRST and the materialized table
     # is clustered — the Jaccard-verify kernel runs exactly once per run
     _write_results(
@@ -431,6 +441,7 @@ def run_streaming(spark, args) -> dict:
         pages,
         sd.verified_pairs(spark, pages, args.text_col, args.id_col),
     )
+    save_progress(q, args.checkpoint_dir)
     return {"mode": args.mode}
 
 
@@ -438,6 +449,13 @@ def main(argv: list[str] | None = None) -> None:
     from pyspark.sql import SparkSession
 
     args = build_parser().parse_args(argv)
+    if args.checkpoint_dir and not io_is_path_ref(args.checkpoint_dir):
+        # a bare relative name ("ckpt") contains no '/', so downstream
+        # refs derived from it would be CATALOG identifiers — where the
+        # prep compat markers silently no-op and a resume with different
+        # prep flags reuses a stale prepped corpus with no error. The
+        # flag's contract is a DIRECTORY; make that explicit.
+        args.checkpoint_dir = os.path.join(".", args.checkpoint_dir)
     spark = SparkSession.builder.getOrCreate()
     t0 = time.time()
     stats = (

@@ -178,7 +178,21 @@ def save_progress(query, work_dir: str) -> str:
     path = _join_ref(_join_ref(work_dir, "metrics"), "query_progress.json")
     by_batch: dict = {}
     if path_exists(path):
-        by_batch = {p["batchId"]: p for p in json.loads(_read_text(path))}
+        try:
+            by_batch = {p["batchId"]: p for p in json.loads(_read_text(path))}
+        except (ValueError, KeyError, TypeError) as e:
+            # a previous run killed mid-write leaves truncated JSON here;
+            # telemetry is the LEAST important artifact in the run — a
+            # crash would propagate out of run_streaming BEFORE the
+            # result tables are written, discarding the whole stream's
+            # output over a merge of old progress rows. Start fresh.
+            import warnings
+
+            warnings.warn(
+                f"corrupt {path!r} ({e}); overwriting with this run's "
+                f"progress only",
+                RuntimeWarning,
+            )
     for p in query.recentProgress:
         d = json.loads(p.json)
         by_batch[d["batchId"]] = d

@@ -251,6 +251,13 @@ def main() -> None:
                         os.killpg(proc.pid, signal.SIGKILL)
                     except ProcessLookupError:
                         pass
+                    # reap after SIGKILL too: an un-waited child stays a
+                    # zombie (and a leaked Popen) for the rest of the
+                    # multi-hour watch; repeated timeouts accumulate them
+                    try:
+                        proc.wait(timeout=10)
+                    except subprocess.TimeoutExpired:
+                        pass
                 rc = "timeout"
             print(
                 f"{args[0]} run rc={rc} best={best_recorded()} "

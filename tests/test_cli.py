@@ -447,3 +447,30 @@ def test_cli_prep_resume_does_not_replay_prep_jobs(
     main(args)  # resume: identical input + flags
     capsys.readouterr()
     assert calls["n"] == 1, "prep lambda invoked on a clean resume"
+
+
+def test_cli_bare_checkpoint_dir_is_a_directory(spark, tmp_path, monkeypatch):
+    """A bare relative --checkpoint-dir ("ckpt", no slash) must be treated
+    as a DIRECTORY, not a catalog identifier: catalog refs silently no-op
+    the prep compat markers, so a resume with different prep flags would
+    reuse a stale prepped corpus with no error."""
+    monkeypatch.chdir(tmp_path)
+    scfg = SynthConfig(n_docs=80, seed=71)
+    generate_pages(spark, scfg).write.parquet(str(tmp_path / "pages"))
+    args = [
+        "--input", str(tmp_path / "pages"),
+        "--output", str(tmp_path / "out"),
+        "--num-bands", "16",
+        "--rows-per-band", "2",
+        "--jaccard-threshold", "0.55",
+        "--max-bucket-size", "50",
+        "--checkpoint-dir", "ckpt",
+        "--latest-per-url",
+    ]
+    main(args)
+    marker = tmp_path / "ckpt" / "prepped_pages" / "_compat_meta.json"
+    assert marker.exists(), "prep marker must land in the DIRECTORY"
+    # corrupt marker (mid-write crash) -> resume rebuilds, not crashes
+    marker.write_text("")
+    main(args)
+    assert json.loads(marker.read_text())["config_hash"]
