@@ -36,14 +36,22 @@ def min_max_normalize(
     dataset normalization of /root/reference/datasets.py:76-81: one global
     agg for (min, max) over all elements, then a scaling projection."""
     out_col = out_col or col
+    # NaN elements are EXCLUDED from the min/max scan: Spark's max orders
+    # NaN above every double, so one NaN component in one vector would
+    # make hi=NaN, span=NaN ('or 1.0' keeps NaN — it is truthy), and the
+    # projection would rewrite EVERY element of EVERY vector to NaN with
+    # no error (downstream p-stable floors those into one garbage
+    # mega-bucket). NaN elements themselves still map to NaN in the
+    # output — scaled, not laundered.
+    finite = F.filter(F.col(col), lambda x: ~F.isnan(x.cast("double")))
     stats = df.select(
-        F.min(F.array_min(F.col(col))).alias("lo"),
-        F.max(F.array_max(F.col(col))).alias("hi"),
+        F.min(F.array_min(finite)).alias("lo"),
+        F.max(F.array_max(finite)).alias("hi"),
     ).first()
     if stats["lo"] is None or stats["hi"] is None:
-        # empty DataFrame or all-NULL column: nothing to scale — return
-        # the input unchanged (a bare float(None) TypeError explains
-        # nothing)
+        # empty DataFrame or all-NULL/all-NaN column: nothing to scale —
+        # return the input unchanged (a bare float(None) TypeError
+        # explains nothing)
         return df.withColumn(out_col, F.col(col))
     lo, hi = float(stats["lo"]), float(stats["hi"])
     span = (hi - lo) or 1.0

@@ -55,16 +55,23 @@ def query_text_neighbors(
     config: DedupConfig | None = None,
     alpha: int = 1,
     jaccard_threshold: float | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """End-to-end query mode over raw text tables: returns
     (query_id, doc_id, n_bands[, jaccard]). Queries and corpus are hashed
     with the same seed/coefficients, so bucket equality semantics match the
-    reference's shared hash functions."""
+    reference's shared hash functions.
+
+    ``exclude_self=False`` keeps id-equal pairs: when the query table's
+    id space is INDEPENDENT of the corpus' (decontamination against an
+    eval set numbered from 0), the default id-equality filter would
+    silently drop true matches that happen to share an id — and the
+    reference's non-indexed query path includes self-collisions too."""
     cfg = config or DedupConfig()
     pipe = DedupPipeline(cfg)
     cb = pipe.buckets(pipe.signatures_from_text(corpus_docs))
     qb = pipe.buckets(pipe.signatures_from_text(query_docs))
-    out = query_neighbors(cb, qb, alpha=alpha)
+    out = query_neighbors(cb, qb, alpha=alpha, exclude_self=exclude_self)
     if jaccard_threshold is None:
         return out
     # eager localCheckpoint: the jaccard branch consumes ``out`` twice
@@ -90,10 +97,17 @@ def query_text_neighbors(
     qsh = pipe.shingle(query_docs).select(
         F.col("doc_id").alias("query_id"), F.col("shingles").alias("q_sh")
     )
+    # the query-shingle broadcast needs the same bound as cand_ids above
+    # — and a far TIGHTER one, since each row carries a whole shingle
+    # array (KBs) rather than one id. A corpus-scale query table (e.g.
+    # corpus-vs-benchmark decontamination) falls back to a plain join.
+    qsh_cap = max(1, cfg.verify_broadcast_ids_cap // 100)
+    if query_docs.count() <= qsh_cap:
+        qsh = F.broadcast(qsh)
     from lsh_qd_spark.operators.verify import jaccard_expr
 
     return (
-        out.join(F.broadcast(qsh), "query_id")
+        out.join(qsh, "query_id")
         .join(csh, "doc_id")
         .withColumn("jaccard", jaccard_expr(F.col("q_sh"), F.col("shingles")))
         .where(F.col("jaccard") >= jaccard_threshold)

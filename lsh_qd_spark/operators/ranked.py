@@ -66,6 +66,7 @@ def ranked_neighbors_tiered(
     query_sigs: DataFrame,
     tiers: list[tuple[int, int]],
     key_mode: str = "xxhash64",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """(tier_idx, query_id, doc_id, n_bands): tier i = alpha=1 collisions
     under its own (rows_per_band, num_bands) banding over a shared flat
@@ -83,9 +84,12 @@ def ranked_neighbors_tiered(
     cb = tiered_buckets(corpus_sigs, tiers, key_mode)
     qb = tiered_buckets(query_sigs, tiers, key_mode)
     outs = [
-        query_neighbors(cb[kl], qb[kl], alpha=1).withColumn(
-            "tier_idx", F.lit(i)
-        )
+        # exclude_self plumbed through (as in ranked_neighbors_alpha):
+        # independent query/corpus id spaces need False or id-equal true
+        # matches silently vanish from every tier
+        query_neighbors(
+            cb[kl], qb[kl], alpha=1, exclude_self=exclude_self
+        ).withColumn("tier_idx", F.lit(i))
         for i, kl in enumerate(tiers)
     ]
     return reduce(lambda a, b: a.unionByName(b), outs).select(

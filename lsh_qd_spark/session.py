@@ -35,6 +35,9 @@ def get_spark(
     """
     runtime = runtime or RuntimeConfig()
     master = _resolve_master(master, os.environ)
+    # Same spark-submit detection as _resolve_master: under a JVM gateway
+    # the LOCAL-MACHINE tuning below must not leak into cluster runs.
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(runtime.shuffle_partitions))
@@ -48,24 +51,6 @@ def get_spark(
             str(runtime.arrow_max_records_per_batch),
         )
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        # local corpora are small relative to the 128MB default split size —
-        # without this a ~600MB table scans with ~5 partitions and the
-        # narrow UDF chain (scan→signature) runs on 5 of 32 cores. On a
-        # real cluster with TB inputs the default is fine; this only lowers
-        # the floor.
-        .config(
-            "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
-        )
-        # Shuffle/spill files on tmpfs: this sandbox's disk is shared and
-        # slow (high sys-time churn); shuffle volumes here are far below
-        # RAM. On a real cluster leave spark.local.dir at the default
-        # (instance-local SSDs).
-        .config(
-            "spark.local.dir",
-            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark_local"),
-        )
         # managed tables (bucketed index, LSHIndex.hash_bucketed) must not
         # land inside the repo checkout
         .config(
@@ -75,6 +60,36 @@ def get_spark(
             ),
         )
     )
+    if not submitted:
+        # driver.memory is only honored when THIS process launches the JVM
+        # gateway; under spark-submit the heap is fixed before Python runs,
+        # so setting it here would make spark.conf REPORT a size the
+        # driver does not have (pass --driver-memory there instead).
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
+    # Local-machine defaults, applied only when NOT spark-submitted (or
+    # when the operator explicitly sets the env knob):
+    # - maxPartitionBytes=16m: local corpora are small relative to the
+    #   128MB default split size — without this a ~600MB table scans with
+    #   ~5 partitions and the narrow UDF chain (scan→signature) runs on 5
+    #   of 32 cores. On a real cluster with TB inputs the 128MB default
+    #   is right (16m would mean ~65k splits/TB of scheduler overhead).
+    # - local.dir on tmpfs: this sandbox's disk is shared and slow;
+    #   shuffle volumes here are far below RAM. On a real cluster
+    #   spark.local.dir must stay on instance-local SSDs — tmpfs shuffle
+    #   at TB scale evicts the page cache and then fails on space.
+    mpb = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    if mpb or not submitted:
+        builder = builder.config(
+            "spark.sql.files.maxPartitionBytes", mpb or "16m"
+        )
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir or not submitted:
+        builder = builder.config(
+            "spark.local.dir", local_dir or "/dev/shm/spark_local"
+        )
     if master:
         builder = builder.master(master)
     for k, v in runtime.extra_confs.items():

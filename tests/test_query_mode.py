@@ -140,3 +140,25 @@ def test_query_text_neighbors_honors_configured_cap(spark, corpus):
     a = {tuple(r) for r in base.collect()}
     b = {tuple(r) for r in capped.collect()}
     assert a == b and len(a) > 0
+
+
+def test_query_independent_id_spaces_keep_id_equal_matches(spark):
+    """exclude_self=False: when the query table's id space is independent
+    of the corpus' (decontam against an eval set numbered from 0), the
+    default id-equality filter would silently drop true matches that
+    happen to share an id."""
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(7, text), (8, "totally different words here now ok")],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    cfg = DedupConfig(rows_per_band=2, num_bands=16)
+    dropped = query_text_neighbors(corpus, queries, cfg).collect()
+    assert all(r["doc_id"] != 7 for r in dropped)
+    kept = query_text_neighbors(
+        corpus, queries, cfg, exclude_self=False
+    ).collect()
+    assert any(
+        r["doc_id"] == 7 and r["query_id"] == 7 for r in kept
+    ), "id-equal true match must survive with exclude_self=False"

@@ -178,3 +178,22 @@ def test_query_metrics_set_semantics_caps_recall(spark):
     m = query_metrics(pred, truth).collect()[0]
     assert m["n_hit"] == 1 and m["n_pred"] == 1
     assert m["recall"] == 1.0 and m["precision"] == 1.0
+
+
+def test_min_max_normalize_survives_nan_element(spark):
+    """One NaN component must not poison the global (min, max): Spark's
+    max orders NaN above every double, so an unfiltered scan would make
+    span=NaN and rewrite EVERY element of EVERY vector to NaN silently."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 10.0]), (2, [5.0, float("nan")])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["embedding"]
+        for r in min_max_normalize(df).collect()
+    }
+    assert got[1] == [0.0, 1.0]
+    assert got[2][0] == 0.5
+    import math
+
+    assert math.isnan(got[2][1])  # scaled NaN stays NaN, not laundered
