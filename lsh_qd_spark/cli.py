@@ -454,8 +454,12 @@ def main(argv: list[str] | None = None) -> None:
         # refs derived from it would be CATALOG identifiers — where the
         # prep compat markers silently no-op and a resume with different
         # prep flags reuses a stale prepped corpus with no error. The
-        # flag's contract is a DIRECTORY; make that explicit.
-        args.checkpoint_dir = os.path.join(".", args.checkpoint_dir)
+        # flag's contract is a DIRECTORY; make it explicit AND absolute:
+        # a merely-relative "./ckpt" resolves against the PYTHON cwd for
+        # the marker files but against the driver JVM's launch dir for
+        # the parquet stage writes — two different directories whenever
+        # the process chdir'd after the JVM started.
+        args.checkpoint_dir = os.path.abspath(args.checkpoint_dir)
     spark = SparkSession.builder.getOrCreate()
     t0 = time.time()
     stats = (
