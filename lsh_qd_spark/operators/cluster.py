@@ -60,6 +60,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     driver_edge_threshold: int = 2_000_000,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id) with cluster_id = min doc_id of the component.
 
@@ -73,9 +74,18 @@ def connected_components(
     a tiny fraction of the corpus). Set the threshold to 0 to force the
     distributed path (tests do). Labels are identical either way: min
     doc_id per component.
+
+    ``n_edges``: pass a pre-computed edge count to skip the sizing job
+    entirely (the pipeline's stage store already knows it). When absent
+    and the fast path is enabled, ``edges`` is eagerly checkpointed FIRST
+    so the sizing count and the subsequent collect (or distributed loop)
+    read the materialized blocks — a bare call on an uncached verify plan
+    must not execute the verify subplan twice.
     """
     if driver_edge_threshold > 0:
-        n_edges = edges.count()
+        if n_edges is None:
+            edges = edges.localCheckpoint(eager=True)
+            n_edges = edges.count()
         if n_edges <= driver_edge_threshold:
             from pyspark.sql.types import StructField, StructType
 

@@ -141,15 +141,12 @@ class StreamDedup:
         id_col: str = "doc_id",
     ) -> DataFrame:
         """(doc_id, cluster_id) duplicate clusters over the verified graph."""
-        # eager checkpoint: connected_components consumes its edges twice
-        # (the count deciding driver-vs-distributed, then the collect or
-        # sym-union) — on a lazy plan each consumer re-runs the Jaccard-
-        # verify kernel over every candidate text. The batch CLI
-        # materializes verified output for the same reason.
+        # connected_components consumes its edges twice (the count deciding
+        # driver-vs-distributed, then the collect or sym-union); it
+        # checkpoints the lazy verify plan internally so the Jaccard kernel
+        # runs once.
         return connected_components(
-            self.verified_pairs(spark, docs, text_col, id_col).localCheckpoint(
-                eager=True
-            )
+            self.verified_pairs(spark, docs, text_col, id_col)
         )
 
 
