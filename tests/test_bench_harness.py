@@ -782,3 +782,63 @@ def test_write_payload_cache_atomic_with_bak(monkeypatch, tmp_path):
     assert json.load(open(str(cache) + ".bak")) == {"v": 1}
     # no torn temp files left behind
     assert not [f for f in os.listdir(tmp_path / "BENCH") if ".tmp" in f]
+
+
+def test_watcher_driver_window_sentinel(monkeypatch, tmp_path):
+    """VERDICT r3 #6: a fresh driver-round artifact (CORRECTNESS_r*/
+    BENCH_r*) stands the watcher down AND aborts an in-flight attempt."""
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    w = _load_watcher()
+    monkeypatch.setattr(w, "REPO", str(tmp_path))
+    monkeypatch.setattr(w, "DRIVER_WINDOW_SEC", 1800)
+    monkeypatch.setattr(w, "ABORT_CHECK_SEC", 0.2)
+    # no sentinel files → inactive
+    assert w.driver_window_active() is False
+    # fresh sentinel → active
+    sentinel = tmp_path / "CORRECTNESS_r99.json"
+    sentinel.write_text("{}")
+    assert w.driver_window_active() is True
+    # stale sentinel (mtime pushed back past the window) → inactive
+    old = _time.time() - 3600
+    os.utime(sentinel, (old, old))
+    assert w.driver_window_active() is False
+    # disabled → always inactive
+    sentinel.write_text("{}")
+    monkeypatch.setattr(w, "DRIVER_WINDOW_SEC", 0)
+    assert w.driver_window_active() is False
+    # in-flight abort: a long-running attempt dies within ~1 s of the
+    # sentinel appearing, and wait_attempt reports why
+    monkeypatch.setattr(w, "DRIVER_WINDOW_SEC", 1800)
+    proc = subprocess.Popen(
+        [_sys.executable, "-c", "import time; time.sleep(60)"],
+        start_new_session=True,
+    )
+    t0 = _time.time()
+    rc = w.wait_attempt(proc, timeout=30)
+    assert rc == "driver-window"
+    assert _time.time() - t0 < 10
+    assert proc.poll() is not None, "attempt process still alive"
+
+
+def test_watcher_wait_attempt_normal_and_timeout(monkeypatch, tmp_path):
+    import subprocess
+    import sys as _sys
+
+    w = _load_watcher()
+    monkeypatch.setattr(w, "REPO", str(tmp_path))  # no sentinels
+    monkeypatch.setattr(w, "ABORT_CHECK_SEC", 0.2)
+    # normal completion passes the exit code through
+    p1 = subprocess.Popen(
+        [_sys.executable, "-c", "raise SystemExit(7)"], start_new_session=True
+    )
+    assert w.wait_attempt(p1, timeout=30) == 7
+    # timeout kills the process group and reports "timeout"
+    p2 = subprocess.Popen(
+        [_sys.executable, "-c", "import time; time.sleep(60)"],
+        start_new_session=True,
+    )
+    assert w.wait_attempt(p2, timeout=1) == "timeout"
+    assert p2.poll() is not None
