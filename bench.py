@@ -1360,8 +1360,28 @@ def write_bench_md(payload: dict) -> None:
     s = payload.get("scaling") or {}
     b = payload.get("scaling_best_recorded") or {}
     summary = payload.get("scaling_best_summary") or _scaling_summary(b)
+    def _slot_probe(k: str) -> str:
+        rec = b if k == "primary_4_to_16" else (b.get(k) or {})
+        probes = [
+            p.get("effective_cores")
+            for p in rec.get("round_probes") or []
+            if isinstance(p, dict)
+        ]
+        shape = (
+            f"{rec.get('executors_n')}→{rec.get('executors_4n')} executors × "
+            f"{rec.get('cores_per_executor')} core(s)"
+            if rec.get("executors_n") is not None
+            else f"local[{rec.get('cpus_n')}]→local[{rec.get('cpus_4n')}]"
+        )
+        return (
+            f" ({shape}, {rec.get('n_pages')} pages, probes "
+            f"{[p for p in probes if p is not None]} effective cores)"
+            if rec
+            else ""
+        )
+
     met = [
-        f"`{k}` = {v}"
+        f"`{k}` = {v}" + _slot_probe(k)
         for k, v in sorted(summary.get("efficiency_by_slot", {}).items())
         if v >= summary.get("target", 0.8)
     ]
