@@ -3,12 +3,13 @@
 Media ride as opaque ``binary`` columns with typed metadata; decode /
 feature-extraction are Arrow-batched ``mapInPandas`` kernels.
 
-Decode is REAL for codec-free formats: PPM (P6) images and PCM WAV audio
-decode with pure NumPy/stdlib (``decode_ppm`` / ``decode_wav``), and
+Decode is REAL for codec-free formats: PPM/PGM/BMP images, zlib-
+compressed PNG (``decode_png`` — pure stdlib inflate + full filter-set
+unfilter), and PCM WAV audio all decode with pure NumPy/stdlib, and
 feature extraction is real too — 8×8 block-mean luminance (the classic
 aHash-style perceptual embedding) for images, per-window RMS energy +
 zero-crossing rate for audio. Formats that need external codecs
-(JPEG/PNG/ffmpeg) are STUBBED behind the same interface:
+(JPEG/ffmpeg/mp3) are STUBBED behind the same interface:
 ``decode_fn=None`` raises ``NotImplementedError`` eagerly; production
 passes ``PIL.Image.open`` / ``soundfile.read`` there. The dedup path
 downstream of decode is fully real either way: features →
@@ -34,13 +35,14 @@ FEATURE_SCHEMA = "media_id long, feature array<float>, feat_dim int"
 
 
 def require_decoder(kind: str) -> Callable[[bytes], np.ndarray]:
-    """Codec-dependent formats (JPEG/PNG/mp3/video) need PIL/ffmpeg —
-    absent in this environment by design. PPM/WAV decode IS available:
-    ``ppm_feature_decoder`` / ``wav_feature_decoder``."""
+    """Codec-dependent formats (JPEG/mp3/video) need PIL/ffmpeg — absent
+    in this environment by design. PPM/PGM/BMP/PNG/WAV decode IS
+    available codec-free: ``*_feature_decoder``."""
     raise NotImplementedError(
         f"no {kind} codec in this environment; pass decode_fn= explicitly "
         "(production: PIL.Image.open / soundfile.read / frame sampler; "
-        "codec-free: ppm_feature_decoder() / wav_feature_decoder())"
+        "codec-free: ppm/pgm/bmp/png_feature_decoder() / "
+        "wav_feature_decoder())"
     )
 
 
@@ -164,6 +166,175 @@ def encode_bmp(img: np.ndarray) -> bytes:
         40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0,
     )
     return header + raster
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (3 = palette, unsupported without PLTE)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode: chunk walk + CRC check + zlib inflate +
+    per-scanline unfilter (None/Sub/Up/Average/Paeth — the full RFC 2083
+    filter set). Non-interlaced 8-bit gray / gray+alpha / RGB / RGBA
+    (color types 0/4/2/6). Returns (H, W) uint8 for grayscale, else
+    (H, W, C). The fourth real codec-free format next to PPM/PGM/BMP —
+    and the first COMPRESSED one, so the production-adapter contract
+    (tests/test_multimodal_codecs.py) runs un-skipped in this sandbox.
+
+    Sub unfilters as a vectorized per-lane cumulative sum; Up is a
+    vectorized add against the prior scanline; Average/Paeth carry a
+    genuine serial dependency along x and run one NumPy step per pixel
+    column (bounded by image width; the kernel already runs per-payload
+    inside Arrow-batched ``mapInPandas`` on executors).
+    """
+    import struct
+    import zlib
+
+    if not payload or not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    idat: list[bytes] = []
+    i = len(_PNG_SIG)
+    while i + 8 <= len(payload):
+        (length,), ctype = struct.unpack_from(">I", payload, i), payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        if len(data) < length or i + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, i + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (bit depth {depth})")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    ch = _PNG_CHANNELS.get(color_type)
+    if ch is None:
+        raise ValueError(
+            f"unsupported PNG color type {color_type} (palette needs PLTE)"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    data_arr = (
+        np.frombuffer(raw, dtype=np.uint8)[: h * (stride + 1)]
+        .reshape(h, stride + 1)
+    )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = int(data_arr[y, 0])
+        row = data_arr[y, 1:].astype(np.int32)
+        if ftype == 0:
+            rec = row
+        elif ftype == 1:  # Sub: per-lane prefix sum
+            rec = (np.cumsum(row.reshape(w, ch), axis=0) % 256).ravel()
+        elif ftype == 2:  # Up
+            rec = (row + prev) % 256
+        elif ftype in (3, 4):  # Average / Paeth: serial in x
+            rec = np.empty(stride, dtype=np.int32)
+            a = np.zeros(ch, dtype=np.int32)
+            c = np.zeros(ch, dtype=np.int32)
+            for x in range(0, stride, ch):
+                b = prev[x : x + ch]
+                if ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa = np.abs(p - a)
+                    pb = np.abs(p - b)
+                    pc = np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        a,
+                        np.where(pb <= pc, b, c),
+                    )
+                cur = (row[x : x + ch] + pred) % 256
+                rec[x : x + ch] = cur
+                a, c = cur, b.astype(np.int32)
+            rec = np.asarray(rec)
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec.astype(np.int32)
+    img = out.reshape(h, w, ch)
+    return img[:, :, 0].copy() if ch == 1 else img
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W[, C]) uint8 → non-interlaced 8-bit PNG. ``filter_type``
+    applies one RFC 2083 filter (0–4) to every scanline — the decode
+    tests use it to exercise each unfilter path against real zlib-
+    compressed bytes. Filtering is fully vectorized (the RECON plane is
+    already known when encoding, unlike decoding)."""
+    import struct
+    import zlib
+
+    arr = np.ascontiguousarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {ch}")
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"unknown PNG filter type {filter_type}")
+    rows = arr.reshape(h, w * ch).astype(np.int16)
+    left = np.zeros_like(rows)
+    left[:, ch:] = rows[:, :-ch]
+    up = np.zeros_like(rows)
+    up[1:] = rows[:-1]
+    upleft = np.zeros_like(rows)
+    upleft[1:, ch:] = rows[:-1, :-ch]
+    if filter_type == 0:
+        filtered = rows
+    elif filter_type == 1:
+        filtered = rows - left
+    elif filter_type == 2:
+        filtered = rows - up
+    elif filter_type == 3:
+        filtered = rows - ((left + up) >> 1)
+    else:
+        p = left + up - upleft
+        pa = np.abs(p - left)
+        pb = np.abs(p - up)
+        pc = np.abs(p - upleft)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+        )
+        filtered = rows - pred
+    body = np.concatenate(
+        [np.full((h, 1), filter_type, dtype=np.uint8),
+         (filtered % 256).astype(np.uint8)],
+        axis=1,
+    ).tobytes()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(body, 6))
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -303,6 +474,21 @@ def bmp_feature_decoder(grid: int = 8) -> Callable[[bytes], np.ndarray]:
 
     def decode(payload: bytes) -> np.ndarray:
         return image_feature(decode_bmp(payload), grid)
+
+    return decode
+
+
+def png_feature_decoder(grid: int = 8) -> Callable[[bytes], np.ndarray]:
+    """payload → 64-dim perceptual feature (decode_png + image_feature).
+    Alpha never feeds luminance: RGBA drops to RGB, gray+alpha to gray."""
+
+    def decode(payload: bytes) -> np.ndarray:
+        arr = decode_png(payload)
+        if arr.ndim == 3 and arr.shape[2] == 2:
+            arr = arr[:, :, 0]
+        elif arr.ndim == 3 and arr.shape[2] == 4:
+            arr = arr[:, :, :3]
+        return image_feature(arr, grid)
 
     return decode
 
