@@ -52,6 +52,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "3000000"))
 BENCH_CORPUS_DIR = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/dev/shm/lsh_qd_bench")
+# worker result files: overridable so tests can sandbox their spawned
+# bench processes away from a live watcher attempt's shared files
+SCALE_TMP_DIR = os.environ.get("SPARK_GRAFT_SCALE_TMPDIR", "/tmp")
 # num_bands=8 comes from the planner (params.get_k_l_minhash semantics):
 # detect probability at J=0.70 with k=2,l=8 is 1-(1-0.49)^8 ≈ 0.9954.
 BENCH_CFG = dict(
@@ -589,7 +592,7 @@ def _run_worker(
     ``tag`` separates output files for non-standard corpora (the
     within-grant fallback pair) so the trials table never mixes corpus
     sizes."""
-    out_path = f"/tmp/lsh_qd_bench_scale_{cpus}{tag}.json"
+    out_path = f"{SCALE_TMP_DIR}/lsh_qd_bench_scale_{cpus}{tag}.json"
     cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(cpus), out_path]
     if n_docs and not n_trials:
         # the worker protocol is positional (trials then docs): silently
@@ -690,9 +693,11 @@ def run_scaling(deadline: float | None = None) -> dict:
             # instrument — ~cpus at both levels means the ENGINE filled
             # every granted slot and any wall-clock ratio shortfall is
             # the host's grant, not the plan
-            "n_achieved_concurrency": _median(concs[n]) if concs[n] else None,
+            "n_achieved_concurrency": (
+                round(_median(concs[n]), 2) if concs[n] else None
+            ),
             "4n_achieved_concurrency": (
-                _median(concs[n4]) if concs[n4] else None
+                round(_median(concs[n4]), 2) if concs[n4] else None
             ),
         }
 
@@ -735,7 +740,7 @@ def run_scaling(deadline: float | None = None) -> dict:
             "trials": trials[cpus],
         }
         # persist aggregated per-level results for the BASELINE.md table
-        with open(f"/tmp/lsh_qd_bench_scale_{cpus}.json", "w") as f:
+        with open(f"{SCALE_TMP_DIR}/lsh_qd_bench_scale_{cpus}.json", "w") as f:
             json.dump(results[cpus], f)
     out = _snapshot()
     # Within-grant fallback pair: when EVERY primary round ran under a bad
@@ -1254,7 +1259,7 @@ def _trial_rows(
         # or shadow them; CPUS is only the legacy-payload fallback
         put(payload.get("headline_cpus") or CPUS, payload.get("headline_trials"))
     for cpus in sorted({*SCALE_CPUS, CPUS}):
-        path = f"/tmp/lsh_qd_bench_scale_{cpus}.json"
+        path = f"{SCALE_TMP_DIR}/lsh_qd_bench_scale_{cpus}.json"
         if cpus in rows or not os.path.exists(path):
             continue
         with open(path) as f:
@@ -1605,7 +1610,20 @@ def _write_payload_cache(payload: dict) -> None:
     any overwrite keeps the previous version recoverable."""
     cache = os.path.join(REPO, "BENCH", "payload.json")
     os.makedirs(os.path.dirname(cache), exist_ok=True)
-    tmp = cache + f".tmp.{os.getpid()}"
+    # sweep tmp strandings from prior killed runs (driver windows SIGKILL
+    # at arbitrary points) — only files old enough that no live writer can
+    # own them, so the sweep never races a concurrent in-flight write;
+    # thread ident in the name because _emit can run concurrently from the
+    # main thread and the watchdog thread
+    import glob
+
+    for stale in glob.glob(cache + ".tmp.*"):
+        try:
+            if time.time() - os.path.getmtime(stale) > 3600:
+                os.remove(stale)
+        except OSError:
+            pass
+    tmp = cache + f".tmp.{os.getpid()}.{threading.get_ident()}"
     with open(tmp, "w") as f:
         json.dump(payload, f, indent=2)
         f.flush()
@@ -1867,7 +1885,7 @@ def main() -> None:
     # otherwise report old scaling rows as freshly measured)
     keep = {CPUS} if scaling_only else set()
     for cpus in {*SCALE_CPUS, CPUS} - keep:
-        path = f"/tmp/lsh_qd_bench_scale_{cpus}.json"
+        path = f"{SCALE_TMP_DIR}/lsh_qd_bench_scale_{cpus}.json"
         if os.path.exists(path):
             os.remove(path)
 

@@ -165,7 +165,10 @@ def _write_results(spark, args, pages, verified, clusters=None) -> None:
         from lsh_qd_spark.operators.cluster import connected_components
 
         clusters = connected_components(
-            read_stage(spark, _out_ref(args.output, "verified"))
+            read_stage(spark, _out_ref(args.output, "verified")),
+            # storage-backed (just written + reread): rescans are cheap,
+            # an internal checkpoint would only copy the table again
+            assume_materialized=True,
         )
     write_stage(clusters, _out_ref(args.output, "clusters"), "overwrite")
     clusters_m = read_stage(spark, _out_ref(args.output, "clusters"))

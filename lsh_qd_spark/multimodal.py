@@ -243,27 +243,35 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif ftype == 2:  # Up
             rec = (row + prev) % 256
         elif ftype in (3, 4):  # Average / Paeth: serial in x
-            rec = np.empty(stride, dtype=np.int32)
-            a = np.zeros(ch, dtype=np.int32)
-            c = np.zeros(ch, dtype=np.int32)
-            for x in range(0, stride, ch):
-                b = prev[x : x + ch]
-                if ftype == 3:
-                    pred = (a + b) >> 1
-                else:
+            # plain-int bytearray loop: one Python int op per byte beats
+            # per-pixel length-ch ndarray ops by ~an order of magnitude
+            # (libpng's adaptive filtering emits mostly Paeth/Average, so
+            # this IS the hot path for real-world PNGs)
+            rec_b = bytearray(stride)
+            prow = prev.tolist()
+            rowl = row.tolist()
+            if ftype == 3:
+                for x in range(stride):
+                    a = rec_b[x - ch] if x >= ch else 0
+                    rec_b[x] = (rowl[x] + ((a + prow[x]) >> 1)) & 255
+            else:
+                for x in range(stride):
+                    a = rec_b[x - ch] if x >= ch else 0
+                    b = prow[x]
+                    c = prow[x - ch] if x >= ch else 0
                     p = a + b - c
-                    pa = np.abs(p - a)
-                    pb = np.abs(p - b)
-                    pc = np.abs(p - c)
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc),
-                        a,
-                        np.where(pb <= pc, b, c),
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
+                    pred = (
+                        a
+                        if pa <= pb and pa <= pc
+                        else (b if pb <= pc else c)
                     )
-                cur = (row[x : x + ch] + pred) % 256
-                rec[x : x + ch] = cur
-                a, c = cur, b.astype(np.int32)
-            rec = np.asarray(rec)
+                    rec_b[x] = (rowl[x] + pred) & 255
+            rec = np.frombuffer(bytes(rec_b), dtype=np.uint8).astype(
+                np.int32
+            )
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = rec.astype(np.uint8)

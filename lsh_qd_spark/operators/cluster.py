@@ -61,6 +61,7 @@ def connected_components(
     id_b: str = "id_b",
     driver_edge_threshold: int = 2_000_000,
     n_edges: int | None = None,
+    assume_materialized: bool = False,
 ) -> DataFrame:
     """(doc_id, cluster_id) with cluster_id = min doc_id of the component.
 
@@ -76,15 +77,19 @@ def connected_components(
     doc_id per component.
 
     ``n_edges``: pass a pre-computed edge count to skip the sizing job
-    entirely (the pipeline's stage store already knows it). When absent
-    and the fast path is enabled, ``edges`` is eagerly checkpointed FIRST
-    so the sizing count and the subsequent collect (or distributed loop)
-    read the materialized blocks — a bare call on an uncached verify plan
-    must not execute the verify subplan twice.
+    entirely. When absent and the fast path is enabled, ``edges`` is
+    eagerly checkpointed FIRST so the sizing count and the subsequent
+    collect (or distributed loop) read the materialized blocks — a bare
+    call on an uncached verify plan must not execute the verify subplan
+    twice. Callers whose edges are ALREADY persisted / checkpointed /
+    storage-backed (the pipeline's stage store, the CLI's written-then-
+    reread verified table) pass ``assume_materialized=True`` to skip the
+    redundant internal checkpoint and keep the old cheap-count behavior.
     """
     if driver_edge_threshold > 0:
         if n_edges is None:
-            edges = edges.localCheckpoint(eager=True)
+            if not assume_materialized:
+                edges = edges.localCheckpoint(eager=True)
             n_edges = edges.count()
         if n_edges <= driver_edge_threshold:
             from pyspark.sql.types import StructField, StructType

@@ -268,9 +268,17 @@ class DedupPipeline:
         return verify_pairs(pairs, shingled, self.config.jaccard_threshold)
 
     def clusters(
-        self, verified: DataFrame, vertices: DataFrame | None = None
+        self,
+        verified: DataFrame,
+        vertices: DataFrame | None = None,
+        assume_materialized: bool = False,
     ) -> DataFrame:
-        return connected_components(verified, vertices)
+        """``assume_materialized=True`` when ``verified`` is already
+        persisted/checkpointed (run()'s stage store always is) — skips
+        connected_components' internal double-execution guard."""
+        return connected_components(
+            verified, vertices, assume_materialized=assume_materialized
+        )
 
     def release(self) -> None:
         """Unpersist the in-memory stage caches of the previous ``run()``.
@@ -391,7 +399,8 @@ class DedupPipeline:
         # run returns clusters built under the opposite setting
         clustered = stage(
             "clusters",
-            lambda: self.clusters(ver, vertices),
+            # ver is stage-store materialized (persisted or checkpointed)
+            lambda: self.clusters(ver, vertices, assume_materialized=True),
             identity={"include_singletons": include_singletons},
         )
         return {

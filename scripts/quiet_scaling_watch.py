@@ -52,7 +52,13 @@ def driver_window_active(now: float | None = None) -> bool:
     watcher holds is stolen from graded work. Checked both at poll time
     (refuse to start) and every ABORT_CHECK_SEC during an in-flight
     attempt (abort it) — the r3 judge noted a crashed watcher mid-attempt
-    could otherwise hold cores for its whole ~25-min attempt window."""
+    could otherwise hold cores for its whole ~25-min attempt window.
+
+    Known false positive: a git checkout/pull that rewrites these tracked
+    files also resets their mtimes, costing one spurious ~30-min
+    stand-down. Accepted — in this environment only the round driver
+    writes them, and a lost window is cheaper than contending with a
+    graded phase."""
     if DRIVER_WINDOW_SEC <= 0:
         return False
     import glob

@@ -752,17 +752,26 @@ def test_graded_run_killed_at_launch_leaves_parseable_tail(tmp_path):
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     # --skip-scaling exercises the same provisional-first path as the
-    # bare graded run without preempting a live quiet-window watcher
+    # bare graded run without preempting a live quiet-window watcher;
+    # SPARK_GRAFT_SCALE_TMPDIR sandboxes the spawned bench's stale-file
+    # sweep away from any live attempt's shared /tmp worker files, and
+    # the SIGKILL goes to the process GROUP so the race window can't
+    # orphan a just-spawned JVM
     p = subprocess.Popen(
         [_sys.executable, os.path.join(repo, "bench.py"), "--skip-scaling"],
         stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL,
         text=True,
+        env=dict(os.environ, SPARK_GRAFT_SCALE_TMPDIR=str(tmp_path)),
+        start_new_session=True,
     )
     try:
         _time.sleep(2)
     finally:
-        p.send_signal(_signal.SIGKILL)
+        try:
+            os.killpg(p.pid, _signal.SIGKILL)
+        except ProcessLookupError:
+            pass
     out, _ = p.communicate(timeout=30)
     lines = [ln for ln in out.splitlines() if ln.strip()]
     assert lines, "no stdout within 2 s of launch"
