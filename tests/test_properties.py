@@ -112,3 +112,56 @@ def test_plan_minhash_meets_its_constraints(s1, s2, min_recall, max_fp):
         return  # infeasible combination — allowed to refuse
     assert plan.p_near >= min_recall - 1e-12
     assert plan.p_far <= max_fp + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# PNG codec properties (round 4): round-trip identity over random content /
+# shape / color type / filter, and decode() total on malformed bytes —
+# every failure is a clean ValueError, never an unhandled crash.
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    ftype=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, ch, ftype, seed):
+    from lsh_qd_spark.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img, filter_type=ftype)), img)
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.binary(max_size=300), seed=st.integers(0, 2**31 - 1))
+def test_png_decode_total_on_malformed(data, seed):
+    """decode_png on arbitrary bytes — including byte-flipped real PNGs —
+    either returns an array or raises ValueError/zlib.error; anything
+    else (IndexError, struct.error, segfault-shaped surprises) would fail
+    a whole executor task 4x in production."""
+    import zlib
+
+    from lsh_qd_spark.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    real = bytearray(encode_png(img, filter_type=int(seed) % 5))
+    # corrupt a few bytes of a real PNG (past the 8-byte signature so the
+    # chunk machinery actually engages), and also try raw noise
+    for payload in (bytes(data), b"\x89PNG\r\n\x1a\n" + bytes(data)):
+        try:
+            decode_png(payload)
+        except (ValueError, zlib.error):
+            pass
+    if len(real) > 16:
+        pos = 8 + int(rng.integers(0, len(real) - 9))
+        real[pos] ^= 0xFF
+        try:
+            decode_png(bytes(real))
+        except (ValueError, zlib.error):
+            pass
