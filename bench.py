@@ -1780,9 +1780,25 @@ def _preempt_foreign_benches() -> None:
 def _terminate_with_children(signum, frame) -> None:
     """SIGTERM handler: a preempted bench (the graded run TERMs foreign
     bench.py processes) must take its in-flight worker groups down with
-    it — dying bare would orphan exactly the JVMs preemption wanted gone."""
+    it — dying bare would orphan exactly the JVMs preemption wanted gone.
+
+    Before exiting, emit the latest payload snapshot: `timeout`-driven
+    driver budgets deliver exactly this signal (the r2 rc=124 window), and
+    the phases measured so far plus the ratcheted bests beat leaving only
+    the launch-time provisional line in the tail. Harmless for preempted
+    watcher children — their stdout goes to DEVNULL."""
     for p in list(_live_children):
         _kill_child_tree(p)
+    try:
+        if _latest_payload:
+            _latest_payload.setdefault("metric", "total_bench_sec")
+            _latest_payload.setdefault("unit", "sec")
+            _latest_payload.setdefault("value", None)
+            _latest_payload["terminated"] = True
+            sys.stdout.write(json.dumps(_latest_payload) + "\n")
+            sys.stdout.flush()
+    except Exception:  # noqa: BLE001 — the exit must never hang on this
+        pass
     os._exit(143)
 
 

@@ -851,3 +851,39 @@ def test_watcher_wait_attempt_normal_and_timeout(monkeypatch, tmp_path):
     )
     assert w.wait_attempt(p2, timeout=1) == "timeout"
     assert p2.poll() is not None
+
+
+def test_graded_run_sigterm_emits_latest_payload(monkeypatch, tmp_path):
+    """A `timeout`-style SIGTERM (the r2 driver-budget failure mode) must
+    leave a tail-parseable JSON line: the latest payload snapshot flagged
+    terminated=true (or, if TERM lands before the snapshot seeds, the
+    launch-time provisional line)."""
+    import signal as _signal
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.Popen(
+        [_sys.executable, os.path.join(repo, "bench.py"), "--skip-scaling"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        env=dict(os.environ, SPARK_GRAFT_SCALE_TMPDIR=str(tmp_path)),
+        start_new_session=True,
+    )
+    _time.sleep(3)
+    try:
+        os.killpg(p.pid, _signal.SIGTERM)
+    except ProcessLookupError:
+        pass
+    out, _ = p.communicate(timeout=60)
+    assert p.returncode == 143
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert lines
+    parsed = json.loads(lines[-1])
+    assert parsed.get("terminated") or parsed.get("provisional")
+    assert parsed["metric"] == "total_bench_sec"
+    if parsed.get("terminated"):
+        # the snapshot carries the ratcheted bests seeded at arm time
+        assert "scaling_best_recorded" in parsed
