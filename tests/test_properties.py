@@ -165,3 +165,35 @@ def test_png_decode_total_on_malformed(data, seed):
             decode_png(bytes(real))
         except (ValueError, zlib.error):
             pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    n_pal=st.integers(1, 256),
+    ftype=st.integers(0, 4),
+    with_trns=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_palette_roundtrip_property(h, w, n_pal, ftype, with_trns, seed):
+    """Palette PNG (round 5): encode→decode is identity on the expanded
+    RGB(A) pixels for any shape / palette size / filter / tRNS length."""
+    from lsh_qd_spark.multimodal import decode_png, encode_png_palette
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (n_pal, 3), dtype=np.uint8)
+    idx = rng.integers(0, n_pal, (h, w), dtype=np.uint8)
+    trns = (
+        bytes(rng.integers(0, 256, int(rng.integers(0, n_pal + 1)),
+                           dtype=np.uint8))
+        if with_trns
+        else None
+    )
+    got = decode_png(encode_png_palette(idx, pal, trns=trns, filter_type=ftype))
+    expect = pal[idx]
+    if trns is not None:
+        alut = np.full(n_pal, 255, dtype=np.uint8)
+        alut[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+        expect = np.dstack([expect, alut[idx]])
+    assert np.array_equal(got, expect)
