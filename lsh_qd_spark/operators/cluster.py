@@ -78,18 +78,38 @@ def connected_components(
 
     ``n_edges``: pass a pre-computed edge count to skip the sizing job
     entirely. When absent and the fast path is enabled, ``edges`` is
-    eagerly checkpointed FIRST so the sizing count and the subsequent
-    collect (or distributed loop) read the materialized blocks — a bare
-    call on an uncached verify plan must not execute the verify subplan
-    twice. Callers whose edges are ALREADY persisted / checkpointed /
-    storage-backed (the pipeline's stage store, the CLI's written-then-
-    reread verified table) pass ``assume_materialized=True`` to skip the
-    redundant internal checkpoint and keep the old cheap-count behavior.
+    persisted (MEMORY_AND_DISK) and counted FIRST so the sizing count and
+    the subsequent collect (or distributed loop) read the materialized
+    blocks — a bare call on an uncached verify plan must not execute the
+    verify subplan twice. persist (not localCheckpoint) deliberately: it
+    keeps lineage, so on a real cluster an executor loss just recomputes
+    the lost blocks, and the blocks are explicitly unpersisted as soon as
+    the edges have been consumed (collected to the driver, or folded into
+    the loop's symmetrized checkpoint) — repeated bare calls (e.g. a
+    streaming backend resolving clusters per batch) cannot accumulate
+    storage memory. Callers whose edges are ALREADY persisted /
+    checkpointed / storage-backed (the pipeline's stage store, the CLI's
+    written-then-reread verified table) pass ``assume_materialized=True``
+    to skip the redundant internal persist and keep the old cheap-count
+    behavior.
+
+    The iterative loop itself still uses ``localCheckpoint``: lineage
+    TRUNCATION is the point there (iterated join plans grow without
+    bound), accepting the documented trade-off that executor loss
+    mid-loop fails the job (blocks are executor-local and the truncated
+    lineage cannot recompute them) — acceptable for a minutes-scale
+    batch stage; a long-running deployment that needs mid-loop fault
+    tolerance should set ``spark.sparkContext.setCheckpointDir`` and swap
+    in reliable ``checkpoint()`` calls.
     """
+    we_persisted = False
     if driver_edge_threshold > 0:
         if n_edges is None:
             if not assume_materialized:
-                edges = edges.localCheckpoint(eager=True)
+                from pyspark import StorageLevel
+
+                edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+                we_persisted = True
             n_edges = edges.count()
         if n_edges <= driver_edge_threshold:
             from pyspark.sql.types import StructField, StructType
@@ -99,6 +119,8 @@ def connected_components(
             pdf = edges.select(
                 F.col(id_a).alias("src"), F.col(id_b).alias("dst")
             ).toPandas()
+            if we_persisted:
+                edges.unpersist()
             # Only EDGES are collected — the threshold bounds them. The
             # vertex table is corpus-sized (include_singletons on a 500M-doc
             # corpus) and must never ride the driver path: singletons are
@@ -138,6 +160,9 @@ def connected_components(
     # would re-execute the union+distinct (and the whole verified-edge
     # lineage) a second time when its own checkpoint materializes
     sym = sym.localCheckpoint(eager=True)
+    if we_persisted:
+        # the symmetrized checkpoint now holds everything the loop reads
+        edges.unpersist()
     verts = sym.select(F.col("src").alias("doc_id")).distinct()
     if vertices is not None:
         verts = verts.union(vertices.select("doc_id")).distinct()
