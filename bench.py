@@ -144,11 +144,16 @@ def _ensure_corpus(spark, n_docs: int) -> str:
     return path
 
 
-def run_dedup_job(spark, pages_path: str) -> tuple[int, float, float | None]:
+def run_dedup_job(
+    spark, pages_path: str, stats_out: dict | None = None
+) -> tuple[int, float, float | None]:
     """The timed unit: read → shingle → sign → band → pairs → verify →
     cluster → count. Returns (n_pages, wall_seconds, achieved_concurrency)
     where achieved_concurrency = executor-task-seconds / wall-seconds over
-    the timed window (None when the status API is unavailable)."""
+    the timed window (None when the status API is unavailable).
+    ``stats_out``, when given, is filled with run telemetry the endurance
+    record banks: connected-components path/iterations (pipe.cc_stats)
+    and peak executor memory from the status API."""
     from lsh_qd_spark.config import DedupConfig
     from lsh_qd_spark.plans.pipeline import DedupPipeline
 
@@ -166,7 +171,48 @@ def run_dedup_job(spark, pages_path: str) -> tuple[int, float, float | None]:
         if task_after is not None
         else None
     )
+    if stats_out is not None:
+        stats_out["cc"] = dict(pipe.cc_stats)
+        stats_out["peak_memory"] = _peak_executor_memory(spark)
     return n_pages, wall, conc
+
+
+def _peak_executor_memory(spark) -> dict | None:
+    """Best-effort executor memory snapshot from the local REST status
+    API: peak JVM heap + storage-memory usage across executors (one
+    'driver' executor in local mode). Observability for the endurance
+    record — never fails the bench."""
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return None
+        with urllib.request.urlopen(f"{base}/api/v1/applications", timeout=5) as r:
+            apps = json.load(r)
+        app_id = apps[0]["id"]
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/executors", timeout=10
+        ) as r:
+            execs = json.load(r)
+        peak_heap = max(
+            (
+                (e.get("peakMemoryMetrics") or {}).get("JVMHeapMemory", 0)
+                for e in execs
+            ),
+            default=0,
+        )
+        return {
+            "peak_jvm_heap_bytes": peak_heap or None,
+            "max_storage_memory_bytes": max(
+                (e.get("maxMemory", 0) for e in execs), default=0
+            ),
+            "used_storage_memory_bytes": max(
+                (e.get("memoryUsed", 0) for e in execs), default=0
+            ),
+        }
+    except Exception:  # noqa: BLE001 — instrument, never fails the bench
+        return None
 
 
 # the per-query table measured by headline_queries and ratcheted into
@@ -1068,6 +1114,81 @@ def headline_only() -> dict:
     return rec
 
 
+def update_best_endurance(rec: dict | None) -> dict | None:
+    """Ratchet the endurance record (the ≥ 10M-page end-to-end dedup at
+    local[CPUS]) into best_scaling.json under ``endurance_best`` —
+    lexicographic (n_pages, pages_per_sec): a larger-corpus completion is
+    strictly stronger endurance evidence than a faster smaller one."""
+
+    def mutate(best: dict) -> bool:
+        if not rec or rec.get("pages_per_sec") is None:
+            return False
+        prev = best.get("endurance_best")
+        if prev is None or (
+            rec.get("n_pages", 0),
+            rec["pages_per_sec"],
+        ) > (prev.get("n_pages", 0), prev.get("pages_per_sec", 0)):
+            best["endurance_best"] = dict(
+                rec,
+                recorded_at=time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                ),
+            )
+            return True
+        return False
+
+    return (_locked_best(mutate) or {}).get("endurance_best")
+
+
+def endurance_only(n_docs: int = 10_000_000) -> dict:
+    """Standalone endurance run (``--endurance [n_docs]``, VERDICT r4 #5):
+    ONE end-to-end dedup pass over a ≥ 10M-page corpus at local[CPUS] —
+    3x the standard bench corpus — evidencing the 100x story with memory
+    headroom, skew behavior, and connected-components iteration count at
+    a scale where a quadratic pair explosion or an unconverging CC loop
+    would be unmissable. Weather probe attached; ratchets into
+    best_scaling.json ``endurance_best`` and refreshes BASELINE.md when
+    the ratchet fires. Single trial by design: the value of the record is
+    that the full pass COMPLETES with bounded memory at this scale, not
+    its central tendency (pages/sec context comes from the probe)."""
+    probe = weather_probe()
+    spark = _session(CPUS)
+    path = _ensure_corpus(spark, n_docs)
+    # warm JVM + python UDF workers outside the timed window (worker()'s
+    # discipline)
+    from lsh_qd_spark.config import DedupConfig
+    from lsh_qd_spark.plans.pipeline import DedupPipeline
+
+    DedupPipeline(DedupConfig(**BENCH_CFG)).signatures_from_text(
+        spark.read.parquet(path).limit(2000)
+    ).count()
+    stats: dict = {}
+    n_pages, wall, conc = run_dedup_job(spark, path, stats_out=stats)
+    spark.stop()
+    rec = {
+        "n_pages": n_pages,
+        "sec": round(wall, 2),
+        "pages_per_sec": round(n_pages / wall, 1),
+        "cpus": CPUS,
+        "achieved_concurrency": conc,
+        "probe": probe,
+        "cc": stats.get("cc"),
+        "peak_memory": stats.get("peak_memory"),
+        "note": (
+            "single-trial endurance pass (completion + memory headroom + "
+            "CC convergence at 3x the bench corpus); same fresh-session "
+            "warm-up discipline as the scaling workers"
+        ),
+    }
+    best = update_best_endurance(rec)
+    if best is not None and best.get("sec") == rec["sec"] and best.get(
+        "n_pages"
+    ) == rec["n_pages"]:
+        _refresh_payload_md()
+    print(json.dumps(rec))
+    return rec
+
+
 def update_best_queries(
     times: dict | None, probe: dict | None
 ) -> dict:
@@ -1366,6 +1487,42 @@ def _cluster_sim_lines(b: dict) -> list[str]:
     return lines
 
 
+def _endurance_lines(b: dict) -> list[str]:
+    """Markdown paragraph for the banked endurance record (≥ 10M-page
+    single-pass completion with memory + CC telemetry)."""
+    e = b.get("endurance_best")
+    if not e:
+        return []
+    cc = e.get("cc") or {}
+    pm = e.get("peak_memory") or {}
+    heap = pm.get("peak_jvm_heap_bytes")
+    return [
+        "**Endurance record (BENCH/best_scaling.json `endurance_best`):** "
+        f"{e.get('n_pages')} pages end-to-end in {e.get('sec')}s "
+        f"({e.get('pages_per_sec')} pages/sec) at local[{e.get('cpus')}], "
+        f"probe {(e.get('probe') or {}).get('effective_cores')} effective "
+        "cores. Connected components resolved via the "
+        f"{cc.get('path')} path in {cc.get('iterations')} iteration(s) over "
+        f"{cc.get('n_edges')} verified edges"
+        + (
+            f"; peak JVM heap {round(heap / (1 << 30), 2)} GiB"
+            if heap
+            else ""
+        )
+        + (
+            f", storage memory used "
+            f"{round(pm['used_storage_memory_bytes'] / (1 << 30), 2)} of "
+            f"{round(pm['max_storage_memory_bytes'] / (1 << 30), 2)} GiB"
+            if pm.get("max_storage_memory_bytes")
+            else ""
+        )
+        + f". Recorded {e.get('recorded_at')} — a full pass at 3x the "
+        "bench corpus with bounded memory and a converging CC loop is the "
+        "100x-scale smoke signal the per-query numbers cannot give.",
+        "",
+    ]
+
+
 def write_bench_md(payload: dict) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     s = payload.get("scaling") or {}
@@ -1491,6 +1648,7 @@ def write_bench_md(payload: dict) -> None:
         ),
         *_wg_best_lines(b),
         *_cluster_sim_lines(b),
+        *_endurance_lines(b),
         "Historical ceiling: one genuinely quiet round-2 window (commit "
         "fd5cdec, before the probe-attached ratchet existed) measured "
         "**0.961** on the standard 3M-page 4→16 pair — 163.4 s → 42.5 s, "
@@ -1775,6 +1933,8 @@ def _usage() -> str:
         "  --headline-only          dedup-throughput phase only\n"
         "  --queries-only           per-query phase only\n"
         "  --wg-only [n] [N:4N]     within-grant scaling pair\n"
+        "  --endurance [n]          one >=10M-page end-to-end pass "
+        "(memory/CC record)\n"
         "  --cluster-sim [n] [N:4N] [cores]   multi-executor local-cluster pair\n"
         "  -h | --help              this text + the provisional JSON line; exit 2\n"
         "Unknown arguments print this usage and exit 2 — they never start a run.\n"
@@ -1936,6 +2096,15 @@ def main() -> None:
                 cpus = (int(lo), int(hi))
                 break
         within_grant_only(n_docs, cpus=cpus)
+        return
+    if "--endurance" in sys.argv:
+        i = sys.argv.index("--endurance")
+        n_docs = (
+            int(sys.argv[i + 1])
+            if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit()
+            else 10_000_000
+        )
+        endurance_only(n_docs)
         return
     if "--headline-only" in sys.argv:
         headline_only()

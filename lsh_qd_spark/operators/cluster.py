@@ -36,6 +36,7 @@ def _driver_union_find(edges_pdf) -> "object":
     si = np.searchsorted(ids, src)
     di = np.searchsorted(ids, dst)
     labels = np.arange(len(ids), dtype=np.int64)
+    iterations = 0
     while True:
         prev = labels
         nxt = labels.copy()
@@ -45,11 +46,13 @@ def _driver_union_find(edges_pdf) -> "object":
         # pointer jumping: follow labels-of-labels (ids sorted ascending →
         # index order == id order, so min index == min id)
         nxt = np.minimum(nxt, nxt[nxt])
+        iterations += 1
         if np.array_equal(nxt, prev):
             break
         labels = nxt
-    return pd.DataFrame(
-        {"doc_id": ids, "cluster_id": ids[labels]}
+    return (
+        pd.DataFrame({"doc_id": ids, "cluster_id": ids[labels]}),
+        iterations,
     )
 
 
@@ -62,6 +65,7 @@ def connected_components(
     driver_edge_threshold: int = 2_000_000,
     n_edges: int | None = None,
     assume_materialized: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id) with cluster_id = min doc_id of the component.
 
@@ -101,6 +105,11 @@ def connected_components(
     batch stage; a long-running deployment that needs mid-loop fault
     tolerance should set ``spark.sparkContext.setCheckpointDir`` and swap
     in reliable ``checkpoint()`` calls.
+
+    ``stats``: optional dict the call fills with run telemetry —
+    ``path`` ("driver" | "distributed"), ``n_edges`` (when sized), and
+    ``iterations`` (union-find passes or hash-min rounds). Observability
+    for endurance/bench records; never affects results.
     """
     we_persisted = False
     if driver_edge_threshold > 0:
@@ -126,6 +135,8 @@ def connected_components(
             # corpus) and must never ride the driver path: singletons are
             # exactly the vertices absent from the edge labels, appended
             # distributively below with label = own id.
+            if stats is not None:
+                stats.update(path="driver", n_edges=n_edges, iterations=0)
             if len(pdf) == 0:
                 lab = spark.createDataFrame(
                     [],
@@ -137,9 +148,12 @@ def connected_components(
                     ),
                 )
             else:
+                labels_pdf, uf_iters = _driver_union_find(pdf)
+                if stats is not None:
+                    stats["iterations"] = uf_iters
                 # cast back to the INPUT id type: pandas round-trips int
                 # ids to int64/long and the union below must not coerce
-                lab = spark.createDataFrame(_driver_union_find(pdf)).select(
+                lab = spark.createDataFrame(labels_pdf).select(
                     F.col("doc_id").cast(id_type),
                     F.col("cluster_id").cast(id_type),
                 )
@@ -168,8 +182,10 @@ def connected_components(
         verts = verts.union(vertices.select("doc_id")).distinct()
     labels = verts.withColumn("label", F.col("doc_id")).localCheckpoint(eager=True)
 
+    if stats is not None:
+        stats.update(path="distributed", n_edges=n_edges, iterations=0)
     converged = False
-    for _ in range(max_iter):
+    for _it in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.src == labels.doc_id)
             .groupBy("dst")
@@ -207,6 +223,8 @@ def connected_components(
         )
         n_changed = new_labels.where(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
+        if stats is not None:
+            stats["iterations"] = _it + 1
         if n_changed == 0:
             converged = True
             break

@@ -168,6 +168,10 @@ class DedupPipeline:
         self.config = config or DedupConfig()
         self.checkpoint_dir = checkpoint_dir
         self.metrics: dict[str, StageMetrics] = {}
+        # telemetry from the last clusters() resolution (path/n_edges/
+        # iterations — see connected_components' ``stats``); benchmark and
+        # endurance records read it after run()
+        self.cc_stats: dict = {}
         # persist() handles created by run() without a checkpoint_dir —
         # released on the next run() or by release(); without this, every
         # run() stacks corpus-scale InMemoryRelation blocks in executor
@@ -276,8 +280,12 @@ class DedupPipeline:
         """``assume_materialized=True`` when ``verified`` is already
         persisted/checkpointed (run()'s stage store always is) — skips
         connected_components' internal double-execution guard."""
+        self.cc_stats = {}
         return connected_components(
-            verified, vertices, assume_materialized=assume_materialized
+            verified,
+            vertices,
+            assume_materialized=assume_materialized,
+            stats=self.cc_stats,
         )
 
     def release(self) -> None:

@@ -928,3 +928,24 @@ def test_graded_run_sigterm_emits_latest_payload(monkeypatch, tmp_path):
     if parsed.get("terminated"):
         # the snapshot carries the ratcheted bests seeded at arm time
         assert "scaling_best_recorded" in parsed
+
+
+def test_update_best_endurance_ratchet(monkeypatch, tmp_path):
+    """Endurance slot ratchets lexicographically on (n_pages,
+    pages_per_sec): a larger-corpus completion always wins; same-size
+    records race on throughput."""
+    monkeypatch.setattr(
+        bench, "BEST_SCALING_PATH", str(tmp_path / "best.json")
+    )
+    r1 = {"n_pages": 10_000_000, "pages_per_sec": 40_000.0, "sec": 250.0}
+    assert bench.update_best_endurance(r1)["pages_per_sec"] == 40_000.0
+    # smaller corpus, absurd throughput: must NOT replace
+    r2 = {"n_pages": 1_000_000, "pages_per_sec": 9e9, "sec": 1.0}
+    assert bench.update_best_endurance(r2)["n_pages"] == 10_000_000
+    # same corpus, faster: replaces
+    r3 = {"n_pages": 10_000_000, "pages_per_sec": 41_000.0, "sec": 240.0}
+    best = bench.update_best_endurance(r3)
+    assert best["pages_per_sec"] == 41_000.0
+    assert "recorded_at" in best
+    # no-op read-back
+    assert bench.update_best_endurance(None)["pages_per_sec"] == 41_000.0

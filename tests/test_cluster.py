@@ -191,3 +191,40 @@ def test_cc_precomputed_count_skips_sizing_job(spark):
             for r in connected_components(edges, n_edges=n).collect()
         }
         assert out == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+def test_cc_stats_telemetry_both_paths(spark, random_graph):
+    """Round-5: the optional ``stats`` out-dict records path, edge count,
+    and iterations on both resolution paths (endurance-record telemetry)
+    without affecting labels."""
+    edges_df = spark.createDataFrame(random_graph, "id_a long, id_b long")
+    want = _truth(random_graph)
+
+    stats_drv: dict = {}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges_df, stats=stats_drv).collect()
+    }
+    assert got == want
+    assert stats_drv["path"] == "driver"
+    assert stats_drv["n_edges"] == len(random_graph)
+    assert stats_drv["iterations"] >= 1
+
+    stats_dist: dict = {}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            edges_df, driver_edge_threshold=0, stats=stats_dist
+        ).collect()
+    }
+    assert got == want
+    assert stats_dist["path"] == "distributed"
+    assert stats_dist["iterations"] >= 1
+    # fast path disabled → no sizing job ran, so n_edges is unknown
+    assert stats_dist["n_edges"] is None
+
+    # empty edge set: driver path, zero union-find passes
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    stats_empty: dict = {}
+    assert connected_components(empty, stats=stats_empty).count() == 0
+    assert stats_empty == {"path": "driver", "n_edges": 0, "iterations": 0}
