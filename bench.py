@@ -958,6 +958,7 @@ def update_best_scaling(s: dict | None) -> dict | None:
                             "headline_best",
                             "cluster_sim_best",
                             "queries_best",
+                            "endurance_best",
                         )
                     )
                 }

@@ -949,3 +949,16 @@ def test_update_best_endurance_ratchet(monkeypatch, tmp_path):
     assert "recorded_at" in best
     # no-op read-back
     assert bench.update_best_endurance(None)["pages_per_sec"] == 41_000.0
+
+
+def test_primary_ratchet_preserves_endurance_slot(monkeypatch, tmp_path):
+    """A new primary 4->16 record rebuilds the best-scaling dict but must
+    carry every independent slot forward — including endurance_best."""
+    path = str(tmp_path / "best.json")
+    monkeypatch.setattr(bench, "BEST_SCALING_PATH", path)
+    bench.update_best_endurance(
+        {"n_pages": 10_000_000, "pages_per_sec": 40_000.0, "sec": 250.0}
+    )
+    b = bench.update_best_scaling(_scaling(0.9))
+    assert b["scaling_efficiency_n_to_4n"] == 0.9
+    assert b["endurance_best"]["n_pages"] == 10_000_000
