@@ -132,6 +132,24 @@ def best_cluster_sim(cores: int = 2) -> float | None:
     return rec.get("scaling_efficiency_n_to_4n")
 
 
+def endurance_window_useful(cores: float, futile_cores: float) -> bool:
+    """True when an --endurance attempt can plausibly improve the banked
+    ``endurance_best`` slot: no record yet, or this window's grant beats
+    the probe context the record was banked under by a clear margin (the
+    ratchet replaces same-size records only when faster, and pages/sec is
+    monotone in the grant). Futility memo as with --queries-only: an
+    attempt that banked nothing closes the gate until a strictly better
+    window appears. The 10M corpus is already materialized in /dev/shm
+    after the first run, so an attempt costs one ~5-minute pass."""
+    if cores <= futile_cores + 0.25:
+        return False
+    rec = _best().get("endurance_best")
+    if rec is None:
+        return True
+    banked_cores = (rec.get("probe") or {}).get("effective_cores")
+    return banked_cores is None or cores > banked_cores + 1.0
+
+
 def queries_snapshot() -> dict:
     """Comparable view of the banked per-query ratchet: sec per headline
     name (None when missing). Used to detect whether an attempt actually
@@ -189,6 +207,7 @@ def main() -> None:
     # best grant at which a --queries-only attempt ran without improving
     # anything; gates retries until a strictly better window appears
     queries_futile_cores = -1.0
+    endurance_futile_cores = -1.0
     while time.time() < DEADLINE:
         best = best_recorded()
         if best is not None and best >= TARGET:
@@ -261,6 +280,13 @@ def main() -> None:
                 runs.append(
                     (["--cluster-sim", "1000000", "1:4", "1"], CS1_MIN_CORES)
                 )
+        # endurance re-attempt: the banked 10M-page record improves only
+        # under a better grant than it was recorded at; the corpus is
+        # already on /dev/shm so a pass is ~5 min (round-5 slot)
+        if cores >= WG_MIN_CORES and endurance_window_useful(
+            cores, endurance_futile_cores
+        ):
+            runs.append((["--endurance", "10000000"], WG_MIN_CORES))
         # cheapest attempt first (~1 min): per-query ratchet whenever this
         # window can improve the banked slot (missing entry or better grant)
         if cores >= CS1_MIN_CORES and queries_window_useful(
@@ -315,6 +341,11 @@ def main() -> None:
             pre_queries = (
                 queries_snapshot() if args[0] == "--queries-only" else None
             )
+            pre_endurance = (
+                (_best().get("endurance_best") or {}).get("recorded_at")
+                if args[0] == "--endurance"
+                else None
+            )
             proc = subprocess.Popen(
                 [sys.executable, "bench.py", *args],
                 cwd=REPO,
@@ -344,6 +375,16 @@ def main() -> None:
                 print(
                     f"--queries-only improved nothing; futile grant "
                     f"memo now {queries_futile_cores}",
+                    flush=True,
+                )
+            if args[0] == "--endurance" and (
+                (_best().get("endurance_best") or {}).get("recorded_at")
+                == pre_endurance
+            ):
+                endurance_futile_cores = max(endurance_futile_cores, cores)
+                print(
+                    f"--endurance improved nothing; futile grant memo "
+                    f"now {endurance_futile_cores}",
                     flush=True,
                 )
         # sleep EVERY iteration (not only idle ones): with a memoized-open

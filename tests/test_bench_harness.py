@@ -962,3 +962,28 @@ def test_primary_ratchet_preserves_endurance_slot(monkeypatch, tmp_path):
     b = bench.update_best_scaling(_scaling(0.9))
     assert b["scaling_efficiency_n_to_4n"] == 0.9
     assert b["endurance_best"]["n_pages"] == 10_000_000
+
+
+def test_watcher_endurance_gate(monkeypatch, tmp_path):
+    """The watcher fires --endurance only when the window can plausibly
+    improve the banked record: no record yet, or a clearly better grant
+    than the record's probe; futility memo closes the gate."""
+    w = _load_watcher()
+    monkeypatch.setattr(w, "BEST_SCALING_PATH", str(tmp_path / "best.json"))
+    # no record yet → any grant above the futile memo is useful
+    assert w.endurance_window_useful(8.0, -1.0) is True
+    assert w.endurance_window_useful(8.0, 8.0) is False  # memoized futile
+    with open(tmp_path / "best.json", "w") as f:
+        json.dump(
+            {
+                "endurance_best": {
+                    "n_pages": 10_000_000,
+                    "pages_per_sec": 36_000.0,
+                    "probe": {"effective_cores": 6.3},
+                }
+            },
+            f,
+        )
+    assert w.endurance_window_useful(6.5, -1.0) is False  # not clearly better
+    assert w.endurance_window_useful(7.4, -1.0) is True  # > 6.3 + 1.0
+    assert w.endurance_window_useful(7.4, 7.3) is False  # memo wins
