@@ -2020,19 +2020,33 @@ def _terminate_with_children(signum, frame) -> None:
     watcher children — their stdout goes to DEVNULL.
 
     Tear guard (round-5 ADVICE fix): if the signal lands while _emit (main
-    or watchdog thread) is mid-write, skip the snapshot — that in-flight
-    emit IS the tail line, and a second interleaved writer would corrupt
-    it. Otherwise the snapshot goes out as ONE os.write to fd 1, which
-    cannot interleave with buffered writers."""
+    or watchdog thread) is mid-write, wait briefly for it to finish — when
+    the writer is the WATCHDOG thread it keeps running during this handler
+    and its completed+flushed line becomes the tail. If the flag does not
+    clear in time (the writer is the MAIN thread, frozen under this very
+    handler — it can never finish), emit the snapshot anyway as ONE
+    os.write prefixed with a newline: os._exit would otherwise discard the
+    interrupted write still sitting in Python's stdout buffer and leave NO
+    fresh tail line at all, and the leading newline guarantees the
+    snapshot starts on its own line even if a partial flush of the
+    interrupted line already reached the pipe."""
     for p in list(_live_children):
         _kill_child_tree(p)
     try:
-        if _latest_payload and not _emitting.is_set():
+        interrupted_emit = _emitting.is_set()
+        if interrupted_emit:
+            for _ in range(20):  # ≤ 2 s for a watchdog-thread emit to land
+                time.sleep(0.1)
+                if not _emitting.is_set():
+                    interrupted_emit = False
+                    break
+        if _latest_payload:
             _latest_payload.setdefault("metric", "total_bench_sec")
             _latest_payload.setdefault("unit", "sec")
             _latest_payload.setdefault("value", None)
             _latest_payload["terminated"] = True
-            line = json.dumps(_latest_payload) + "\n"
+            prefix = "\n" if interrupted_emit else ""
+            line = prefix + json.dumps(_latest_payload) + "\n"
             os.write(1, line.encode())
     except Exception:  # noqa: BLE001 — the exit must never hang on this
         pass

@@ -172,6 +172,19 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color type → samples per pixel in the RASTER (3 = palette: 1 index byte
 # per pixel, expanded through PLTE after unfiltering)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    """length + type + data + CRC32 framing (shared by both encoders)."""
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
 # decompression-bomb guard: deflate expands up to ~1000x, so a small
 # crafted IDAT could otherwise allocate GBs per executor task in a
 # pipeline whose stated job is deduping untrusted media. 256 MiB decoded
@@ -240,9 +253,17 @@ def _native_unfilter():
         import tempfile
 
         tag = hashlib.sha1(_UNFILTER_C_SRC.encode()).hexdigest()[:12]
-        so_path = os.path.join(
-            tempfile.gettempdir(), f"lsh_qd_png_unfilter_{tag}.so"
+        # per-user 0700 cache dir, NOT the shared temp root: a predictable
+        # world-writable path would let another local user pre-plant a
+        # malicious .so that CDLL below would happily execute
+        cache_dir = os.path.join(
+            tempfile.gettempdir(), f"lsh_qd_native_{os.getuid()}"
         )
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+        st = os.stat(cache_dir)
+        if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+            raise RuntimeError("native cache dir not exclusively ours")
+        so_path = os.path.join(cache_dir, f"png_unfilter_{tag}.so")
         if not os.path.exists(so_path):
             tmp = f"{so_path}.{os.getpid()}.tmp"
             subprocess.run(
@@ -253,6 +274,9 @@ def _native_unfilter():
                 timeout=60,
             )
             os.replace(tmp, so_path)  # atomic vs concurrent compilers
+        st = os.stat(so_path)
+        if st.st_uid != os.getuid():
+            raise RuntimeError("native kernel not owned by this user")
         lib = ctypes.CDLL(so_path)
         fn = lib.png_unfilter
         fn.argtypes = [
@@ -544,20 +568,12 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
         axis=1,
     ).tobytes()
 
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-        )
-
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     return (
         _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(body, 6))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(body, 6))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -572,7 +588,6 @@ def encode_png_palette(
     often palette-quantized; this is the fixture-side twin of
     ``decode_png``'s PLTE path."""
     import struct
-    import zlib
 
     idx = np.ascontiguousarray(indices, dtype=np.uint8)
     if idx.ndim != 2:
@@ -588,20 +603,16 @@ def encode_png_palette(
     # rewrite the container: IHDR color type 3 + PLTE (+ tRNS) chunks
     gray = encode_png(idx, filter_type=filter_type)
 
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-        )
-
     h, w = idx.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
     rest = gray[33:]  # everything after the signature + IHDR chunk
-    out = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal.tobytes())
+    out = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+    )
     if trns is not None:
-        out += chunk(b"tRNS", trns)
+        out += _png_chunk(b"tRNS", trns)
     return out + rest
 
 

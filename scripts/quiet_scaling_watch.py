@@ -294,6 +294,10 @@ def main() -> None:
         ):
             runs.insert(0, (["--queries-only"], CS1_MIN_CORES))
         for i, (args, need_cores) in enumerate(runs):
+            # grant in effect when THIS attempt launches — futility memos
+            # must record this, not the (possibly ~50-min-stale) poll-time
+            # probe, or a collapsed mid-queue grant poisons the gate
+            attempt_cores = cores
             # Re-validate BETWEEN queued runs: a single poll can queue up
             # to three back-to-back ~25-min attempts, and by the second one
             # the grant may have collapsed or a driver bench round may have
@@ -308,6 +312,7 @@ def main() -> None:
                     )
                     break
                 p2 = weather_probe()
+                attempt_cores = p2["effective_cores"]
                 if p2["effective_cores"] < need_cores:
                     # skip, don't break: a later queued run may need fewer
                     # cores than this one (e.g. cluster-sim-2c after
@@ -377,11 +382,16 @@ def main() -> None:
                     f"memo now {queries_futile_cores}",
                     flush=True,
                 )
-            if args[0] == "--endurance" and (
-                (_best().get("endurance_best") or {}).get("recorded_at")
+            if (
+                args[0] == "--endurance"
+                and rc == 0  # timeout/abort/crash banked nothing by
+                # accident, not by engine floor — leave the gate open
+                and (_best().get("endurance_best") or {}).get("recorded_at")
                 == pre_endurance
             ):
-                endurance_futile_cores = max(endurance_futile_cores, cores)
+                endurance_futile_cores = max(
+                    endurance_futile_cores, attempt_cores
+                )
                 print(
                     f"--endurance improved nothing; futile grant memo "
                     f"now {endurance_futile_cores}",
