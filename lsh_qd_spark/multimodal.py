@@ -172,6 +172,30 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color type → samples per pixel in the RASTER (3 = palette: 1 index byte
 # per pixel, expanded through PLTE after unfiltering)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: Adam7 interlace pass grid: (x0, y0, dx, dy) per pass, RFC 2083 §2.6
+_ADAM7_GRID = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
+    """Non-empty Adam7 passes for a w×h image as
+    (x0, y0, dx, dy, pass_width, pass_height)."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7_GRID:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp > 0 and hp > 0:
+            out.append((x0, y0, dx, dy, wp, hp))
+    return out
+
+
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     """length + type + data + CRC32 framing (shared by both encoders)."""
     import struct
@@ -424,9 +448,11 @@ def _png_unfilter(
 def decode_png(payload: bytes) -> np.ndarray:
     """Pure-stdlib PNG decode: chunk walk + CRC check + size-capped zlib
     inflate + vectorized wavefront unfilter (None/Sub/Up/Average/Paeth —
-    the full RFC 2083 filter set; see ``_png_unfilter``). Non-interlaced
-    8-bit gray / gray+alpha / RGB / RGBA / palette (color types
-    0/4/2/6/3, palette via PLTE with optional tRNS → alpha). Returns
+    the full RFC 2083 filter set; see ``_png_unfilter``). 8-bit gray /
+    gray+alpha / RGB / RGBA / palette (color types 0/4/2/6/3, palette via
+    PLTE with optional tRNS → alpha), both non-interlaced and
+    Adam7-interlaced (each pass unfiltered independently, scattered into
+    place by strided assignment). Returns
     (H, W) uint8 for grayscale, else (H, W, C). The fourth real
     codec-free format next to PPM/PGM/BMP — and the first COMPRESSED
     one, so the production-adapter contract
@@ -473,8 +499,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
     if depth != 8:
         raise ValueError(f"only 8-bit PNG supported (bit depth {depth})")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     ch = _PNG_CHANNELS.get(color_type)
     if ch is None:
         raise ValueError(f"unsupported PNG color type {color_type}")
@@ -489,8 +515,10 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError("tRNS longer than palette")
     if w <= 0 or h <= 0:
         raise ValueError(f"invalid PNG dimensions {w}x{h}")
-    stride = w * ch
-    expected = h * (stride + 1)
+    passes = (
+        _adam7_passes(w, h) if interlace == 1 else [(0, 0, 1, 1, w, h)]
+    )
+    expected = sum(hp * (wp * ch + 1) for *_xyd, wp, hp in passes)
     if expected > _PNG_MAX_RASTER_BYTES:
         raise ValueError(
             f"PNG raster {expected} bytes exceeds cap {_PNG_MAX_RASTER_BYTES}"
@@ -505,8 +533,21 @@ def decode_png(payload: bytes) -> np.ndarray:
     # ALL remaining output, which would be the very bomb this guards.
     if d.decompress(d.unconsumed_tail, 1):
         raise ValueError("PNG IDAT inflates beyond the declared raster size")
-    data_arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    img = _png_unfilter(data_arr, h, w, ch)
+    if interlace == 0:
+        data_arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w * ch + 1)
+        img = _png_unfilter(data_arr, h, w, ch)
+    else:
+        # Adam7: each pass is an independently filtered sub-image —
+        # unfilter per pass, scatter into place via strided assignment
+        img = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy, wp, hp in passes:
+            n = hp * (wp * ch + 1)
+            pass_arr = np.frombuffer(
+                raw[off : off + n], dtype=np.uint8
+            ).reshape(hp, wp * ch + 1)
+            img[y0::dy, x0::dx] = _png_unfilter(pass_arr, hp, wp, ch)
+            off += n
     if palette is not None:
         idx = img[:, :, 0]
         if int(idx.max(initial=0)) >= len(palette):
@@ -536,6 +577,22 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
     if color_type is None:
         raise ValueError(f"unsupported channel count {ch}")
+    body = _png_filter_body(arr, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(body, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_filter_body(arr: np.ndarray, filter_type: int) -> bytes:
+    """Apply one RFC 2083 filter to every scanline of (H, W, C) uint8;
+    returns the raw (pre-deflate) raster: filter byte + filtered row per
+    scanline. Fully vectorized (the RECON plane is already known when
+    encoding, unlike decoding). Shared by the plain and Adam7 encoders."""
+    h, w, ch = arr.shape
     if not 0 <= filter_type <= 4:
         raise ValueError(f"unknown PNG filter type {filter_type}")
     rows = arr.reshape(h, w * ch).astype(np.int16)
@@ -562,13 +619,36 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
             (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
         )
         filtered = rows - pred
-    body = np.concatenate(
+    return np.concatenate(
         [np.full((h, 1), filter_type, dtype=np.uint8),
          (filtered % 256).astype(np.uint8)],
         axis=1,
     ).tobytes()
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+
+def encode_png_adam7(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W[, C]) uint8 → Adam7-INTERLACED 8-bit PNG: each of the seven
+    passes is extracted by the RFC 2083 §2.6 grid, filtered as an
+    independent sub-image, and the concatenated pass rasters deflate into
+    one IDAT. Fixture-side twin of ``decode_png``'s interlace path (real
+    crawl PNGs are sometimes interlaced for progressive rendering)."""
+    import struct
+    import zlib
+
+    arr = np.ascontiguousarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {ch}")
+    body = b"".join(
+        _png_filter_body(
+            np.ascontiguousarray(arr[y0::dy, x0::dx]), filter_type
+        )
+        for x0, y0, dx, dy, _wp, _hp in _adam7_passes(w, h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)

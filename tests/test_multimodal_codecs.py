@@ -393,7 +393,11 @@ def test_png_error_paths():
         decode_png(bytes(corrupted))
     with pytest.raises(ValueError, match="bit depth"):
         decode_png(_patch_ihdr(payload, 8, 16))
-    with pytest.raises(ValueError, match="interlaced"):
+    with pytest.raises(ValueError, match="interlace method"):
+        decode_png(_patch_ihdr(payload, 12, 2))  # no such method
+    with pytest.raises(ValueError):
+        # claims Adam7 but carries a non-interlaced raster: the pass-sum
+        # size no longer matches, so decode rejects rather than misreads
         decode_png(_patch_ihdr(payload, 12, 1))
     with pytest.raises(ValueError, match="PLTE"):
         decode_png(_patch_ihdr(payload, 9, 3))  # palette without PLTE
@@ -780,3 +784,43 @@ def test_media_near_dup_palette_png(spark):
         ).collect()
     }
     assert got == truth
+
+
+def test_png_adam7_roundtrip_all_shapes_and_filters():
+    """Adam7 interlaced encode→decode is identity, including the shapes
+    where some passes are empty (tiny/thin images) and every filter."""
+    from lsh_qd_spark.multimodal import decode_png, encode_png_adam7
+
+    rng = np.random.default_rng(53)
+    shapes = [
+        (1, 1), (1, 9), (7, 1), (8, 8, 3), (9, 9, 4), (48, 64, 3),
+        (5, 3, 2), (16, 16),
+    ]
+    for shape in shapes:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for ft in range(5):
+            got = decode_png(encode_png_adam7(img, filter_type=ft))
+            assert got.shape == img.shape, (shape, ft)
+            assert np.array_equal(got, img), (shape, ft)
+
+
+def test_png_adam7_cross_validates_against_jvm_imageio(spark):
+    """Independent oracle for the interlace path: javax.imageio reads our
+    Adam7 encoder's output pixel-exact."""
+    from lsh_qd_spark.multimodal import encode_png_adam7
+
+    jvm = spark._jvm
+    img = np.random.default_rng(54).integers(0, 256, (11, 13, 3), dtype=np.uint8)
+    bis = jvm.java.io.ByteArrayInputStream(
+        bytearray(encode_png_adam7(img, filter_type=4))
+    )
+    bimg = jvm.javax.imageio.ImageIO.read(bis)
+    assert bimg is not None and (bimg.getHeight(), bimg.getWidth()) == (11, 13)
+    for y in range(11):
+        for x in range(13):
+            argb = bimg.getRGB(x, y)
+            assert (
+                (argb >> 16) & 255,
+                (argb >> 8) & 255,
+                argb & 255,
+            ) == tuple(int(v) for v in img[y, x]), (y, x)

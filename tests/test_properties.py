@@ -197,3 +197,25 @@ def test_png_palette_roundtrip_property(h, w, n_pal, ftype, with_trns, seed):
         alut[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
         expect = np.dstack([expect, alut[idx]])
     assert np.array_equal(got, expect)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    ftype=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_adam7_roundtrip_property(h, w, ch, ftype, seed):
+    """Adam7 interlace (round 5): encode→decode identity for any shape —
+    the empty-pass edge cases (w or h < 5) are where a pass-grid bug
+    would hide."""
+    from lsh_qd_spark.multimodal import decode_png, encode_png_adam7
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    assert np.array_equal(
+        decode_png(encode_png_adam7(img, filter_type=ftype)), img
+    )
