@@ -448,9 +448,11 @@ def _png_unfilter(
 def decode_png(payload: bytes) -> np.ndarray:
     """Pure-stdlib PNG decode: chunk walk + CRC check + size-capped zlib
     inflate + vectorized wavefront unfilter (None/Sub/Up/Average/Paeth —
-    the full RFC 2083 filter set; see ``_png_unfilter``). 8-bit gray /
+    the full RFC 2083 filter set; see ``_png_unfilter``). Gray /
     gray+alpha / RGB / RGBA / palette (color types 0/4/2/6/3, palette via
-    PLTE with optional tRNS → alpha), both non-interlaced and
+    PLTE with optional tRNS → alpha) at every legal bit depth — 1/2/4-bit
+    packed rows are unpacked MSB-first (gray scaled exactly to 8-bit),
+    16-bit samples downsample to the high byte — both non-interlaced and
     Adam7-interlaced (each pass unfiltered independently, scattered into
     place by strided assignment). Returns
     (H, W) uint8 for grayscale, else (H, W, C). The fourth real
@@ -497,13 +499,19 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"only 8-bit PNG supported (bit depth {depth})")
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
     ch = _PNG_CHANNELS.get(color_type)
     if ch is None:
         raise ValueError(f"unsupported PNG color type {color_type}")
+    # legal (color type → bit depth) matrix, RFC 2083 §4.1.1: sub-byte
+    # depths exist only for gray and palette; 16-bit never for palette
+    allowed_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                      4: (8, 16), 6: (8, 16)}[color_type]
+    if depth not in allowed_depths:
+        raise ValueError(
+            f"bit depth {depth} invalid for PNG color type {color_type}"
+        )
     palette: np.ndarray | None = None
     if color_type == 3:
         if plte is None:
@@ -518,7 +526,14 @@ def decode_png(payload: bytes) -> np.ndarray:
     passes = (
         _adam7_passes(w, h) if interlace == 1 else [(0, 0, 1, 1, w, h)]
     )
-    expected = sum(hp * (wp * ch + 1) for *_xyd, wp, hp in passes)
+
+    def _scanline_bytes(wp: int) -> int:
+        return (wp * ch * depth + 7) // 8
+
+    # filter "left" distance: whole bytes per pixel, floored to 1 for the
+    # sub-byte depths (RFC 2083: filters always operate on BYTES)
+    bpp = max(1, (ch * depth) // 8)
+    expected = sum(hp * (_scanline_bytes(wp) + 1) for *_xyd, wp, hp in passes)
     if expected > _PNG_MAX_RASTER_BYTES:
         raise ValueError(
             f"PNG raster {expected} bytes exceeds cap {_PNG_MAX_RASTER_BYTES}"
@@ -533,20 +548,40 @@ def decode_png(payload: bytes) -> np.ndarray:
     # ALL remaining output, which would be the very bomb this guards.
     if d.decompress(d.unconsumed_tail, 1):
         raise ValueError("PNG IDAT inflates beyond the declared raster size")
+
+    def _decode_block(block: bytes, wp: int, hp: int) -> np.ndarray:
+        """One (sub-)image: unfilter the packed byte rows, then expand to
+        (hp, wp, ch) uint8 pixels according to the bit depth."""
+        sb = _scanline_bytes(wp)
+        arr = np.frombuffer(block, dtype=np.uint8).reshape(hp, sb + 1)
+        # the unfilter kernel thinks in (row, unit, byte) where unit =
+        # bpp bytes; packed scanlines are a whole number of units
+        rec = _png_unfilter(arr, hp, sb // bpp, bpp).reshape(hp, sb)
+        if depth == 8:
+            return rec.reshape(hp, wp, ch)
+        if depth == 16:
+            # network byte order: high byte first; downsample to 8-bit by
+            # taking it (the standard 16→8 reduction)
+            return rec.reshape(hp, wp, ch, 2)[:, :, :, 0]
+        # sub-byte gray / palette indices: unpack d-bit codes, MSB first
+        bits = np.unpackbits(rec, axis=1).reshape(hp, -1, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        vals = (bits * weights).sum(axis=2).astype(np.uint8)[:, :wp]
+        if color_type == 0:
+            # exact d-bit → 8-bit scaling: 255/(2^d-1) is integral here
+            vals = (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        return vals[:, :, None]
+
     if interlace == 0:
-        data_arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w * ch + 1)
-        img = _png_unfilter(data_arr, h, w, ch)
+        img = _decode_block(raw, w, h)
     else:
         # Adam7: each pass is an independently filtered sub-image —
         # unfilter per pass, scatter into place via strided assignment
         img = np.zeros((h, w, ch), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy, wp, hp in passes:
-            n = hp * (wp * ch + 1)
-            pass_arr = np.frombuffer(
-                raw[off : off + n], dtype=np.uint8
-            ).reshape(hp, wp * ch + 1)
-            img[y0::dy, x0::dx] = _png_unfilter(pass_arr, hp, wp, ch)
+            n = hp * (_scanline_bytes(wp) + 1)
+            img[y0::dy, x0::dx] = _decode_block(raw[off : off + n], wp, hp)
             off += n
     if palette is not None:
         idx = img[:, :, 0]
@@ -627,31 +662,134 @@ def _png_filter_body(arr: np.ndarray, filter_type: int) -> bytes:
 
 
 def encode_png_adam7(img: np.ndarray, filter_type: int = 0) -> bytes:
-    """(H, W[, C]) uint8 → Adam7-INTERLACED 8-bit PNG: each of the seven
-    passes is extracted by the RFC 2083 §2.6 grid, filtered as an
-    independent sub-image, and the concatenated pass rasters deflate into
-    one IDAT. Fixture-side twin of ``decode_png``'s interlace path (real
-    crawl PNGs are sometimes interlaced for progressive rendering)."""
+    """(H, W[, C]) uint8 (→ 8-bit) or uint16 (→ 16-bit) → Adam7-INTERLACED
+    PNG: each of the seven passes is extracted by the RFC 2083 §2.6 grid,
+    filtered as an independent sub-image, and the concatenated pass
+    rasters deflate into one IDAT. Fixture-side twin of ``decode_png``'s
+    interlace path (real crawl PNGs are sometimes interlaced for
+    progressive rendering)."""
     import struct
     import zlib
 
-    arr = np.ascontiguousarray(img, dtype=np.uint8)
+    wide = np.asarray(img).dtype == np.uint16
+    arr = np.ascontiguousarray(img, dtype=np.uint16 if wide else np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ch = arr.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
     if color_type is None:
         raise ValueError(f"unsupported channel count {ch}")
+
+    def pass_bytes(sub: np.ndarray) -> np.ndarray:
+        sub = np.ascontiguousarray(sub)
+        if not wide:
+            return sub
+        hp, wp, _ = sub.shape
+        return sub.astype(">u2").view(np.uint8).reshape(hp, wp, ch * 2)
+
     body = b"".join(
-        _png_filter_body(
-            np.ascontiguousarray(arr[y0::dy, x0::dx]), filter_type
-        )
+        _png_filter_body(pass_bytes(arr[y0::dy, x0::dx]), filter_type)
         for x0, y0, dx, dy, _wp, _hp in _adam7_passes(w, h)
     )
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 16 if wide else 8, color_type, 0, 0, 1
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(body, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png16(img16: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W[, C]) uint16 → 16-bit PNG (network byte order). Fixture-side
+    twin of ``decode_png``'s 16-bit path (which downsamples to the high
+    byte); filtering runs on the packed byte matrix with the correct
+    2·C-byte pixel distance."""
+    import struct
+    import zlib
+
+    arr = np.ascontiguousarray(img16, dtype=np.uint16)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {ch}")
+    as_bytes = (
+        arr.astype(">u2").view(np.uint8).reshape(h, w, ch * 2)
+    )
+    body = _png_filter_body(as_bytes, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(body, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_lowdepth(
+    codes: np.ndarray,
+    depth: int,
+    palette: np.ndarray | None = None,
+    filter_type: int = 0,
+    interlace: bool = False,
+) -> bytes:
+    """(H, W) d-bit codes (d ∈ 1/2/4) → sub-byte PNG: grayscale when
+    ``palette`` is None (codes are raw d-bit gray levels the decoder
+    scales to 8-bit), else color-type-3 with packed palette indices —
+    the favicon-grade shape small crawl images actually use. Rows are
+    bit-packed MSB-first per RFC 2083; filtering runs on the packed
+    bytes (bpp = 1)."""
+    import struct
+    import zlib
+
+    if depth not in (1, 2, 4):
+        raise ValueError(f"low-depth encoder supports 1/2/4, got {depth}")
+    arr = np.ascontiguousarray(codes, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("codes must be (H, W)")
+    if int(arr.max(initial=0)) >= (1 << depth):
+        raise ValueError(f"code out of range for depth {depth}")
+    if palette is not None:
+        pal = np.ascontiguousarray(palette, dtype=np.uint8)
+        if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= len(pal) <= (
+            1 << depth
+        ):
+            raise ValueError("palette must be (N<=2^depth, 3) uint8")
+        if int(arr.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+    h, w = arr.shape
+
+    def pack_rows(sub: np.ndarray) -> bytes:
+        # MSB-first d-bit packing, each row padded to a whole byte
+        hp, wp = sub.shape
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        bits = ((sub[:, :, None] & weights) > 0).astype(np.uint8)
+        sb = (wp * depth + 7) // 8
+        row_bits = np.zeros((hp, sb * 8), dtype=np.uint8)
+        row_bits[:, : wp * depth] = bits.reshape(hp, wp * depth)
+        packed = np.packbits(row_bits, axis=1)  # (hp, sb)
+        return _png_filter_body(packed[:, :, None], filter_type)
+
+    if interlace:
+        body = b"".join(
+            pack_rows(np.ascontiguousarray(arr[y0::dy, x0::dx]))
+            for x0, y0, dx, dy, _wp, _hp in _adam7_passes(w, h)
+        )
+    else:
+        body = pack_rows(arr)
+    color_type = 0 if palette is None else 3
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
+    )
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", pal.tobytes())
+    return (
+        out
         + _png_chunk(b"IDAT", zlib.compress(body, 6))
         + _png_chunk(b"IEND", b"")
     )
