@@ -929,3 +929,192 @@ def test_png_depth_matrix_cross_validates_against_jvm_imageio(spark):
     img16 = (hi << 8) | hi  # replicate high byte so 16→8 is exact both ways
     got = jvm_rgb(encode_png16(img16, filter_type=4), 8, 6)
     assert np.array_equal(got, hi.astype(np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (round 5): the dominant crawl image format, decoded with
+# pure NumPy — previously stubbed behind require_decoder("needs PIL")
+
+
+def _smooth_image(seed: int, h: int = 40, w: int = 56) -> np.ndarray:
+    """JPEG-friendly structured content (random per-pixel noise is
+    adversarial to DCT quantization and would need useless tolerances).
+    The low-frequency structure is SEED-dependent — a coarse random grid
+    upscaled — so different seeds give genuinely different images (the
+    near-dup tests depend on cross-image features being far apart)."""
+    r = np.random.default_rng(seed)
+    coarse = r.uniform(0, 255, (5, 7, 3))
+    img = np.kron(coarse, np.ones(((h + 4) // 5, (w + 6) // 7, 1)))[:h, :w]
+    img = img + r.normal(0, 5, (h, w, 3))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_quality_and_modes():
+    from lsh_qd_spark.multimodal import decode_jpeg, encode_jpeg_baseline
+
+    img = _smooth_image(71)
+    # quality 100 4:4:4 — quant tables collapse to 1: near-lossless
+    got = decode_jpeg(encode_jpeg_baseline(img, quality=100))
+    assert got.shape == img.shape
+    assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 3
+    # grayscale
+    g = img[:, :, 0]
+    got = decode_jpeg(encode_jpeg_baseline(g, quality=100))
+    assert got.shape == g.shape
+    assert int(np.abs(got.astype(int) - g.astype(int)).max()) <= 3
+    # lossy qualities, both subsamplings, odd dimensions, restart markers.
+    # 4:2:0 halves chroma resolution: on this content's hard color edges
+    # the loss vs the ORIGINAL is genuinely large (any decoder's would
+    # be) — the tight cross-decoder agreement lives in the ImageIO test.
+    odd = _smooth_image(72, h=37, w=51)
+    for kw, mean_tol in (
+        (dict(quality=90), 6),
+        (dict(quality=85, subsampling="420"), 14),
+        (dict(quality=90, restart_interval=3), 6),
+        (dict(quality=90, subsampling="420", restart_interval=2), 14),
+    ):
+        got = decode_jpeg(encode_jpeg_baseline(odd, **kw))
+        d = np.abs(got.astype(int) - odd.astype(int))
+        assert got.shape == odd.shape, kw
+        assert float(d.mean()) < mean_tol, (kw, d.max(), d.mean())
+        if "subsampling" not in kw:
+            assert int(d.max()) < 48, (kw, d.max())
+    # tiny images exercise the single-MCU edge
+    for shape in ((1, 1, 3), (3, 9, 3), (8, 8, 3)):
+        t = np.clip(
+            np.random.default_rng(73).normal(128, 20, shape), 0, 255
+        ).astype(np.uint8)
+        assert decode_jpeg(encode_jpeg_baseline(t, quality=100)).shape == shape
+
+
+def test_jpeg_error_paths_total():
+    import struct
+
+    from lsh_qd_spark.multimodal import decode_jpeg, encode_jpeg_baseline
+
+    img = _smooth_image(74, h=16, w=16)
+    payload = encode_jpeg_baseline(img, quality=90)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[:30])  # truncated mid-segment
+    # progressive marker (SOF2) rejected loudly
+    prog = bytearray(payload)
+    sof_at = payload.index(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2
+    with pytest.raises(ValueError, match="only baseline"):
+        decode_jpeg(bytes(prog))
+    # corrupted entropy data: clean ValueError or a decoded (wrong) image,
+    # never an unhandled crash
+    rng = np.random.default_rng(75)
+    for _ in range(25):
+        broken = bytearray(payload)
+        pos = int(rng.integers(2, len(broken) - 2))
+        broken[pos] ^= 0xFF
+        try:
+            decode_jpeg(bytes(broken))
+        except ValueError:
+            pass
+    # absurd declared dimensions rejected before allocation
+    huge = bytearray(payload)
+    struct.pack_into(">HH", huge, sof_at + 5, 65000, 65000)
+    with pytest.raises(ValueError, match="cap"):
+        decode_jpeg(bytes(huge))
+
+
+def test_jpeg_cross_validates_against_jvm_imageio(spark):
+    """Two-sided independent oracle: javax.imageio DECODES our encoder's
+    bitstream (444, 420, restart markers — proving it is spec-legal) to
+    within IDCT/upsample rounding of our own decode, and our decoder
+    reads an ImageIO-WRITTEN (libjpeg-shaped, 4:2:0) file."""
+    from lsh_qd_spark.multimodal import decode_jpeg, encode_jpeg_baseline
+
+    jvm = spark._jvm
+    img = _smooth_image(76, h=24, w=31)
+
+    def jvm_read(payload: bytes) -> np.ndarray:
+        bis = jvm.java.io.ByteArrayInputStream(bytearray(payload))
+        bimg = jvm.javax.imageio.ImageIO.read(bis)
+        assert bimg is not None, "ImageIO could not parse our bitstream"
+        h, w = bimg.getHeight(), bimg.getWidth()
+        out = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                argb = bimg.getRGB(x, y)
+                out[y, x] = (
+                    (argb >> 16) & 255, (argb >> 8) & 255, argb & 255
+                )
+        return out
+
+    for kw, tol in (
+        (dict(quality=95), 4),  # 4:4:4 — IDCT rounding only
+        (dict(quality=90, restart_interval=2), 4),
+        (dict(quality=90, subsampling="420"), 16),  # fancy-vs-nearest chroma
+    ):
+        pay = encode_jpeg_baseline(img, **kw)
+        theirs = jvm_read(pay)
+        ours = decode_jpeg(pay)
+        d = np.abs(theirs.astype(int) - ours.astype(int))
+        assert int(d.max()) <= tol and float(d.mean()) < 3, (kw, d.max())
+
+    # ImageIO-written JPEG (default writer: 4:2:0) through OUR decoder
+    h, w = img.shape[:2]
+    bimg = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in img[y, x])
+            v = (255 << 24) | (r << 16) | (g << 8) | b
+            if v >= 1 << 31:
+                v -= 1 << 32
+            bimg.setRGB(x, y, v)
+    bos = jvm.java.io.ByteArrayOutputStream()
+    jvm.javax.imageio.ImageIO.write(bimg, "jpg", bos)
+    pay = bytes(bos.toByteArray())
+    ours = decode_jpeg(pay)
+    theirs = jvm_read(pay)
+    d = np.abs(theirs.astype(int) - ours.astype(int))
+    assert int(d.max()) <= 24 and float(d.mean()) < 4, (d.max(), d.mean())
+
+
+def test_media_near_dup_real_jpeg_decode(spark):
+    """The production-adapter contract on REAL lossy-compressed JPEG
+    payloads: planted near-identical images ride through media_near_dup
+    with actual entropy decode on executors."""
+    from lsh_qd_spark.multimodal import (
+        encode_jpeg_baseline,
+        jpeg_feature_decoder,
+        media_near_dup,
+    )
+
+    rows, truth = [], set()
+    rng = np.random.default_rng(77)
+    for i in range(15):
+        img = _smooth_image(500 + i, h=48, w=64)
+        noisy = np.clip(
+            img.astype(np.int16) + rng.integers(-5, 6, img.shape), 0, 255
+        ).astype(np.uint8)
+        sub = "420" if i % 2 else "444"
+        rows.append(
+            (2 * i, "image", encode_jpeg_baseline(img, quality=92),
+             "image/jpeg", 64, 48, None)
+        )
+        rows.append(
+            (2 * i + 1, "image",
+             encode_jpeg_baseline(noisy, quality=88, subsampling=sub),
+             "image/jpeg", 64, 48, None)
+        )
+        truth.add((2 * i, 2 * i + 1))
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in media_near_dup(
+            media, jpeg_feature_decoder(), cosine_threshold=0.9
+        ).collect()
+    }
+    assert got == truth

@@ -219,3 +219,36 @@ def test_png_adam7_roundtrip_property(h, w, ch, ftype, seed):
     assert np.array_equal(
         decode_png(encode_png_adam7(img, filter_type=ftype)), img
     )
+
+
+@settings(max_examples=80, deadline=None)
+@given(data=st.binary(max_size=300), seed=st.integers(0, 2**31 - 1))
+def test_jpeg_decode_total_on_malformed(data, seed):
+    """decode_jpeg on arbitrary bytes — including byte-flipped real
+    JPEGs — either returns an array or raises ValueError; anything else
+    would fail a whole executor task 4x in production (same totality
+    contract the PNG tests pin)."""
+    from lsh_qd_spark.multimodal import decode_jpeg, encode_jpeg_baseline
+
+    rng = np.random.default_rng(seed)
+    img = np.clip(rng.normal(128, 30, (8, 9, 3)), 0, 255).astype(np.uint8)
+    real = bytearray(
+        encode_jpeg_baseline(
+            img,
+            quality=int(rng.integers(50, 101)),
+            subsampling="420" if seed % 2 else "444",
+            restart_interval=int(seed % 3),
+        )
+    )
+    for payload in (bytes(data), b"\xff\xd8" + bytes(data)):
+        try:
+            decode_jpeg(payload)
+        except ValueError:
+            pass
+    if len(real) > 6:
+        pos = 2 + int(rng.integers(0, len(real) - 3))
+        real[pos] ^= 0xFF
+        try:
+            decode_jpeg(bytes(real))
+        except ValueError:
+            pass
