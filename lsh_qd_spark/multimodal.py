@@ -1588,6 +1588,42 @@ def png_feature_decoder(grid: int = 8) -> Callable[[bytes], np.ndarray]:
     return decode
 
 
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-byte dispatch over every codec-free image decoder
+    (PNG/JPEG/BMP/PPM/PGM) — the realistic crawl shape where one binary
+    column carries whatever formats the web served. Raises ValueError on
+    unrecognized magic (same totality contract as each decoder)."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"P5":
+        return decode_pgm(payload)
+    raise ValueError(
+        f"unrecognized image magic {bytes(payload[:8])!r} "
+        "(codec-free formats: PNG/JPEG/BMP/PPM/PGM)"
+    )
+
+
+def image_feature_decoder(grid: int = 8) -> Callable[[bytes], np.ndarray]:
+    """payload (any codec-free format) → 64-dim perceptual feature.
+    Alpha never feeds luminance: RGBA drops to RGB, gray+alpha to gray."""
+
+    def decode(payload: bytes) -> np.ndarray:
+        arr = decode_image(payload)
+        if arr.ndim == 3 and arr.shape[2] == 2:
+            arr = arr[:, :, 0]
+        elif arr.ndim == 3 and arr.shape[2] == 4:
+            arr = arr[:, :, :3]
+        return image_feature(arr, grid)
+
+    return decode
+
+
 def pil_feature_decoder(grid: int = 8) -> Callable[[bytes], np.ndarray]:
     """Production image decode: any PIL-readable payload (JPEG/PNG/WebP/…)
     → perceptual feature. Runtime-detected — raises the standard stub error

@@ -1118,3 +1118,57 @@ def test_media_near_dup_real_jpeg_decode(spark):
         ).collect()
     }
     assert got == truth
+
+
+def test_media_near_dup_all_formats_one_decoder(spark):
+    """One image_feature_decoder() over a column mixing every codec-free
+    format — PNG (palette + interlaced), JPEG (420), BMP, PPM — recovers
+    the planted pairs across format boundaries."""
+    from lsh_qd_spark.multimodal import (
+        encode_bmp,
+        encode_jpeg_baseline,
+        encode_png,
+        encode_png_adam7,
+        encode_png_palette,
+        image_feature_decoder,
+        media_near_dup,
+    )
+
+    rng = np.random.default_rng(81)
+    rows, truth = [], set()
+    for i in range(12):
+        img = _smooth_image(600 + i, h=48, w=64)
+        noisy = np.clip(
+            img.astype(np.int16) + rng.integers(-4, 5, img.shape), 0, 255
+        ).astype(np.uint8)
+        encoders = [
+            lambda a: encode_png(a, filter_type=4),
+            lambda a: encode_jpeg_baseline(a, quality=92, subsampling="420"),
+            lambda a: encode_bmp(a),
+            lambda a: encode_ppm(a),
+            lambda a: encode_png_adam7(a, filter_type=2),
+        ]
+        enc_a = encoders[i % len(encoders)]
+        enc_b = encoders[(i + 1) % len(encoders)]
+        rows.append((2 * i, "image", enc_a(img), "image/any", 64, 48, None))
+        rows.append(
+            (2 * i + 1, "image", enc_b(noisy), "image/any", 64, 48, None)
+        )
+        truth.add((2 * i, 2 * i + 1))
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in media_near_dup(
+            media, image_feature_decoder(), cosine_threshold=0.9
+        ).collect()
+    }
+    assert got == truth
+    # unknown magic raises loudly
+    from lsh_qd_spark.multimodal import decode_image
+
+    with pytest.raises(ValueError, match="unrecognized image magic"):
+        decode_image(b"GIF89a not supported")
