@@ -981,7 +981,9 @@ def _decode_jpeg_markers(payload: bytes) -> np.ndarray:
     huff_dc: dict[int, tuple] = {}
     huff_ac: dict[int, tuple] = {}
     sof = None
+    progressive = False
     restart_interval = 0
+    scans: list[dict] = []
     i = 2
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
@@ -1023,7 +1025,7 @@ def _decode_jpeg_markers(payload: bytes) -> np.ndarray:
                 tbl = _jpeg_build_huff(counts, symbols)
                 (huff_ac if tc else huff_dc)[th] = tbl
                 j += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -1032,40 +1034,62 @@ def _decode_jpeg_markers(payload: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
                 comps.append([cid, hv >> 4, hv & 15, tq])
             sof = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG process (marker 0xFF{marker:02X}); "
-                "only baseline/extended sequential DCT is decoded"
+                "only baseline/extended sequential and progressive DCT "
+                "are decoded"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows the header
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
-            h, w, comps = sof
-            if w <= 0 or h <= 0:
-                raise ValueError("invalid JPEG dimensions")
-            if w * h * max(len(comps), 1) > _PNG_MAX_RASTER_BYTES:
-                raise ValueError("JPEG dimensions exceed decode cap")
             ns = seg[0]
-            if ns != len(comps):
-                raise ValueError(
-                    "multi-scan sequential JPEG not supported "
-                    f"(scan has {ns} of {len(comps)} components)"
-                )
-            scan_tbl = {}
+            scan_comps = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan_tbl[cs] = (tdta >> 4, tdta & 15)
-            segs, _end = _jpeg_entropy_segments(payload, i + 2 + seg_len)
-            return _jpeg_decode_scan(
-                h, w, comps, scan_tbl, qt, huff_dc, huff_ac,
-                restart_interval, segs,
-            )
+                scan_comps.append((cs, tdta >> 4, tdta & 15))
+            ss, se, ahl = seg[1 + 2 * ns : 4 + 2 * ns]
+            segs, end = _jpeg_entropy_segments(payload, i + 2 + seg_len)
+            scans.append({
+                "comps": scan_comps,
+                "ss": ss,
+                "se": se,
+                "ah": ahl >> 4,
+                "al": ahl & 15,
+                "segs": segs,
+                # DHT/DRI may be redefined between scans: snapshot now
+                "dc": dict(huff_dc),
+                "ac": dict(huff_ac),
+                "ri": restart_interval,
+            })
+            i = end
+            continue
         # APPn / COM / others: skip
         i += 2 + seg_len
-    raise ValueError("JPEG has no SOS scan")
+    if sof is None or not scans:
+        raise ValueError("JPEG has no SOS scan")
+    h, w, comps = sof
+    if w <= 0 or h <= 0:
+        raise ValueError("invalid JPEG dimensions")
+    if w * h * max(len(comps), 1) > _PNG_MAX_RASTER_BYTES:
+        raise ValueError("JPEG dimensions exceed decode cap")
+    if progressive:
+        return _jpeg_decode_progressive(h, w, comps, scans, qt)
+    if len(scans) != 1 or len(scans[0]["comps"]) != len(comps):
+        raise ValueError(
+            "multi-scan sequential JPEG not supported "
+            f"({len(scans)} scans, first has {len(scans[0]['comps'])} of "
+            f"{len(comps)} components)"
+        )
+    s0 = scans[0]
+    scan_tbl = {cs: (td, ta) for cs, td, ta in s0["comps"]}
+    return _jpeg_decode_scan(
+        h, w, comps, scan_tbl, qt, s0["dc"], s0["ac"], s0["ri"], s0["segs"]
+    )
 
 
 def _jpeg_decode_scan(
@@ -1136,6 +1160,211 @@ def _jpeg_decode_scan(
                             k += 1
             mcus_in_seg += 1
 
+    return _jpeg_reconstruct(h, w, states, hmax, vmax)
+
+
+def _jpeg_decode_progressive(h, w, comps, scans, qt) -> np.ndarray:
+    """Progressive JPEG (SOF2): coefficients accumulate across scans —
+    DC first + DC refinement (interleaved or single-component), AC
+    spectral-selection bands and AC successive-approximation refinement
+    (single-component scans with EOB-run coding, T.81 G.1.2). Each scan
+    snapshots the Huffman tables in force when its SOS appeared."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if not all(1 <= c[1] <= 2 and 1 <= c[2] <= 2 for c in comps):
+        raise ValueError("unsupported JPEG sampling factors (H,V must be 1-2)")
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    states = []
+    by_id: dict[int, dict] = {}
+    for cid, ch, cv, tq in comps:
+        if tq not in qt:
+            raise ValueError(f"JPEG component references missing DQT {tq}")
+        bw, bh = mcx * ch, mcy * cv
+        # non-interleaved scans cover only the component's REAL block
+        # grid (ceil of its sample dims), not the MCU-padded one
+        cw = (w * ch + hmax - 1) // hmax
+        chh = (h * cv + vmax - 1) // vmax
+        st = {
+            "cid": cid, "H": ch, "V": cv, "bw": bw, "bh": bh,
+            "nbx": (cw + 7) // 8, "nby": (chh + 7) // 8,
+            "coef": np.zeros((bw * bh, 64), dtype=np.int32),
+            "q": qt[tq], "pred": 0,
+        }
+        states.append(st)
+        by_id[cid] = st
+
+    for scan in scans:
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        ri = scan["ri"]
+        segs = scan["segs"]
+        seg_idx = 0
+        rd = _JpegBitReader(segs[0])
+        if ss == 0:  # DC scan (se must be 0)
+            if se != 0:
+                raise ValueError("JPEG DC scan with nonzero Se")
+            members = []
+            for cs, td, _ta in scan["comps"]:
+                if cs not in by_id:
+                    raise ValueError(f"JPEG scan references component {cs}")
+                if ah == 0 and td not in scan["dc"]:
+                    raise ValueError("JPEG scan references missing DHT")
+                members.append((by_id[cs], scan["dc"].get(td)))
+                by_id[cs]["pred"] = 0
+            interleaved = len(members) > 1
+            if interleaved:
+                nx, ny = mcx, mcy
+            else:
+                st0 = members[0][0]
+                nx, ny = st0["nbx"], st0["nby"]
+            units = 0
+            for uy in range(ny):
+                for ux in range(nx):
+                    if ri and units == ri:
+                        seg_idx += 1
+                        if seg_idx >= len(segs):
+                            raise ValueError("JPEG truncated at restart")
+                        rd = _JpegBitReader(segs[seg_idx])
+                        for st, _t in members:
+                            st["pred"] = 0
+                        units = 0
+                    for st, dtbl in members:
+                        reps = (
+                            [(by_, bx_) for by_ in range(st["V"])
+                             for bx_ in range(st["H"])]
+                            if interleaved
+                            else [(0, 0)]
+                        )
+                        for by_, bx_ in reps:
+                            if interleaved:
+                                bidx = (uy * st["V"] + by_) * st["bw"] + (
+                                    ux * st["H"] + bx_
+                                )
+                            else:
+                                bidx = uy * st["bw"] + ux
+                            row = st["coef"][bidx]
+                            if ah == 0:
+                                t = _jpeg_huff_decode(rd, dtbl)
+                                if t > 15:
+                                    raise ValueError(
+                                        f"invalid JPEG DC size {t}"
+                                    )
+                                diff = (
+                                    _jpeg_extend(rd.get(t), t) if t else 0
+                                )
+                                st["pred"] += diff
+                                row[0] = st["pred"] << al
+                            else:  # DC refinement: one bit per block
+                                if rd.get(1):
+                                    row[0] = int(row[0]) | (1 << al)
+                    units += 1
+        else:  # AC scan: exactly one component, never interleaved
+            if len(scan["comps"]) != 1:
+                raise ValueError("JPEG AC progressive scan must have 1 comp")
+            if not 1 <= ss <= se <= 63:
+                raise ValueError("invalid JPEG spectral selection band")
+            cs, _td, ta = scan["comps"][0]
+            if cs not in by_id:
+                raise ValueError(f"JPEG scan references component {cs}")
+            if ta not in scan["ac"]:
+                raise ValueError("JPEG scan references missing DHT")
+            st = by_id[cs]
+            atbl = scan["ac"][ta]
+            eobrun = 0
+            units = 0
+            for by_ in range(st["nby"]):
+                for bx_ in range(st["nbx"]):
+                    if ri and units == ri:
+                        seg_idx += 1
+                        if seg_idx >= len(segs):
+                            raise ValueError("JPEG truncated at restart")
+                        rd = _JpegBitReader(segs[seg_idx])
+                        eobrun = 0
+                        units = 0
+                    row = st["coef"][by_ * st["bw"] + bx_]
+                    if ah == 0:
+                        eobrun = _jpeg_ac_first_block(
+                            rd, row, ss, se, al, atbl, eobrun
+                        )
+                    else:
+                        eobrun = _jpeg_ac_refine_block(
+                            rd, row, ss, se, al, atbl, eobrun
+                        )
+                    units += 1
+    return _jpeg_reconstruct(h, w, states, hmax, vmax)
+
+
+def _jpeg_ac_first_block(rd, row, ss, se, al, atbl, eobrun) -> int:
+    """First (Ah=0) AC scan of a spectral band for one block; returns the
+    remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _jpeg_huff_decode(rd, atbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:
+                return (1 << r) - 1 + rd.get(r)  # EOB run incl. this block
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past band end")
+        row[k] = _jpeg_extend(rd.get(s), s) << al
+        k += 1
+    return 0
+
+
+def _jpeg_ac_refine_block(rd, row, ss, se, al, atbl, eobrun) -> int:
+    """Successive-approximation (Ah>0) AC refinement for one block —
+    the T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine control flow:
+    correction bits for already-nonzero coefficients, ±1<<Al births for
+    new ones, EOB runs carrying correction bits to the band end."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _jpeg_huff_decode(rd, atbl)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + rd.get(r)
+                    break
+                # ZRL: advance over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid JPEG AC refinement size")
+                newval = p1 if rd.get(1) else m1
+            while k <= se:
+                v = int(row[k])
+                if v != 0:
+                    if rd.get(1) and (v & p1) == 0:
+                        row[k] = v + (p1 if v > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                row[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = int(row[k])
+            if v != 0 and rd.get(1) and (v & p1) == 0:
+                row[k] = v + (p1 if v > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_reconstruct(h, w, states, hmax, vmax) -> np.ndarray:
+    """Shared tail of the sequential and progressive decoders: dequant +
+    IDCT (one einsum per component) + fancy chroma upsample + color
+    convert."""
     a = _jpeg_dct_matrix()
     planes = []
     for st in states:

@@ -998,11 +998,17 @@ def test_jpeg_error_paths_total():
         decode_jpeg(b"\x89PNG not a jpeg")
     with pytest.raises(ValueError):
         decode_jpeg(payload[:30])  # truncated mid-segment
-    # progressive marker (SOF2) rejected loudly
-    prog = bytearray(payload)
+    # genuinely unsupported process (SOF3 lossless) rejected loudly
     sof_at = payload.index(b"\xff\xc0")
+    lossless = bytearray(payload)
+    lossless[sof_at + 1] = 0xC3
+    with pytest.raises(ValueError, match="unsupported JPEG process"):
+        decode_jpeg(bytes(lossless))
+    # a sequential stream RELABELED progressive (round 5 supports real
+    # SOF2): the scan header is inconsistent for progressive → ValueError
+    prog = bytearray(payload)
     prog[sof_at + 1] = 0xC2
-    with pytest.raises(ValueError, match="only baseline"):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(prog))
     # corrupted entropy data: clean ValueError or a decoded (wrong) image,
     # never an unhandled crash
@@ -1172,3 +1178,67 @@ def test_media_near_dup_all_formats_one_decoder(spark):
 
     with pytest.raises(ValueError, match="unrecognized image magic"):
         decode_image(b"GIF89a not supported")
+
+
+def test_jpeg_progressive_cross_validates_against_jvm_imageio(spark):
+    """Progressive (SOF2) JPEG: ImageIO writes a real multi-scan
+    progressive stream (spectral selection + successive approximation,
+    the web's standard progressive shape); our decoder must agree with
+    ImageIO's own decode to within IDCT/upsample rounding."""
+    from lsh_qd_spark.multimodal import decode_jpeg
+
+    jvm = spark._jvm
+
+    def to_bimg(img):
+        h, w = img.shape[:2]
+        b = jvm.java.awt.image.BufferedImage(
+            w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+        )
+        for y in range(h):
+            for x in range(w):
+                r, g, bl = (int(v) for v in img[y, x])
+                v = (255 << 24) | (r << 16) | (g << 8) | bl
+                if v >= 1 << 31:
+                    v -= 1 << 32
+                b.setRGB(x, y, v)
+        return b
+
+    def write_prog(img):
+        ImageIO = jvm.javax.imageio.ImageIO
+        writer = ImageIO.getImageWritersByFormatName("jpg").next()
+        param = writer.getDefaultWriteParam()
+        param.setProgressiveMode(
+            jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT
+        )
+        bos = jvm.java.io.ByteArrayOutputStream()
+        ios = ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(
+            None, jvm.javax.imageio.IIOImage(to_bimg(img), None, None), param
+        )
+        ios.flush()
+        return bytes(bos.toByteArray())
+
+    def jvm_read(payload):
+        bis = jvm.java.io.ByteArrayInputStream(bytearray(payload))
+        bimg = jvm.javax.imageio.ImageIO.read(bis)
+        h, w = bimg.getHeight(), bimg.getWidth()
+        out = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                argb = bimg.getRGB(x, y)
+                out[y, x] = (
+                    (argb >> 16) & 255, (argb >> 8) & 255, argb & 255
+                )
+        return out
+
+    for h, w, seed in ((16, 16, 2), (40, 56, 3), (9, 13, 4), (24, 31, 1)):
+        img = _smooth_image(seed, h=h, w=w)
+        pay = write_prog(img)
+        assert b"\xff\xc2" in pay, "fixture is not progressive"
+        ours = decode_jpeg(pay)
+        theirs = jvm_read(pay)
+        d = np.abs(theirs.astype(int) - ours.astype(int))
+        assert int(d.max()) <= 16 and float(d.mean()) < 2, (
+            (h, w), d.max(), d.mean()
+        )
