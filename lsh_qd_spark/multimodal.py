@@ -1409,6 +1409,284 @@ def _jpeg_reconstruct(h, w, states, hmax, vmax) -> np.ndarray:
     return np.clip(np.round(np.dstack([r, g, b])), 0, 255).astype(np.uint8)
 
 
+# ---------------------------------------------------------------------------
+# GIF (87a/89a) — pure stdlib/NumPy LZW decode: palettes (global/local),
+# interlacing, and GCE transparency. Animations decode as their FIRST
+# frame (dedup features come from one frame; a frame sampler is the
+# production adapter's job).
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, max_pixels: int) -> bytes:
+    """GIF-flavor LZW (LSB-first variable-width codes, CLEAR/END, 12-bit
+    table cap). Stops at END, at ``max_pixels`` output bytes (a crafted
+    stream cannot allocate past the declared frame — same bomb posture
+    as the PNG/JPEG caps), or at input exhaustion."""
+    if not 2 <= min_code <= 8:
+        raise ValueError(f"invalid GIF LZW minimum code size {min_code}")
+    clear = 1 << min_code
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    out = bytearray()
+    prev: bytes | None = None
+    while len(out) < max_pixels:
+        while nbits < code_size:
+            if pos >= len(data):
+                return bytes(out)  # missing END: return what we have
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW stream starts with invalid code")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError("invalid GIF LZW code")
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+        if len(table) >= (1 << code_size) and code_size < 12:
+            code_size += 1
+    return bytes(out)
+
+
+#: interlaced GIF pass structure: row start / step per pass
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a → (H, W, 3) uint8, or (H, W, 4) when the first frame's
+    graphic-control extension declares a transparent index (alpha 0
+    there, and on any screen area the frame does not cover). Interlaced
+    frames are de-interlaced; animations return the FIRST frame composed
+    onto the logical screen."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    w, h, flags, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    if w <= 0 or h <= 0 or w * h * 4 > _PNG_MAX_RASTER_BYTES:
+        raise ValueError(f"invalid GIF dimensions {w}x{h}")
+    i = 13
+    gct: np.ndarray | None = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        raw = payload[i : i + 3 * n]
+        if len(raw) < 3 * n:
+            raise ValueError("truncated GIF global color table")
+        gct = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        i += 3 * n
+    transparent: int | None = None
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            if i + 2 > len(payload):
+                raise ValueError("truncated GIF extension")
+            label = payload[i + 1]
+            i += 2
+            first = True
+            while True:
+                if i >= len(payload):
+                    raise ValueError("truncated GIF extension blocks")
+                size = payload[i]
+                if first and label == 0xF9 and size >= 4:
+                    block = payload[i + 1 : i + 1 + size]
+                    if len(block) >= 4 and block[0] & 1:
+                        transparent = block[3]
+                first = False
+                i += 1 + size
+                if size == 0:
+                    break
+        elif b == 0x2C:  # image descriptor
+            left, top, iw, ih, lflags = struct.unpack_from(
+                "<HHHHB", payload, i + 1
+            )
+            i += 10
+            if iw <= 0 or ih <= 0:
+                raise ValueError("invalid GIF frame dimensions")
+            ct = gct
+            if lflags & 0x80:
+                n = 2 << (lflags & 7)
+                raw = payload[i : i + 3 * n]
+                if len(raw) < 3 * n:
+                    raise ValueError("truncated GIF local color table")
+                ct = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+                i += 3 * n
+            if ct is None:
+                raise ValueError("GIF frame without any color table")
+            if i >= len(payload):
+                raise ValueError("truncated GIF image data")
+            min_code = payload[i]
+            i += 1
+            data = bytearray()
+            while True:
+                if i >= len(payload):
+                    raise ValueError("truncated GIF data sub-blocks")
+                size = payload[i]
+                i += 1
+                data += payload[i : i + size]
+                i += size
+                if size == 0:
+                    break
+            idx = np.frombuffer(
+                _gif_lzw_decode(bytes(data), min_code, iw * ih),
+                dtype=np.uint8,
+            )
+            if len(idx) < iw * ih:
+                raise ValueError("GIF pixel data shorter than the frame")
+            idx = idx[: iw * ih].reshape(ih, iw)
+            if lflags & 0x40:  # interlaced: rows arrive in 4 passes
+                rows = np.concatenate(
+                    [np.arange(start, ih, step) for start, step in
+                     _GIF_INTERLACE]
+                )
+                out = np.empty_like(idx)
+                out[rows] = idx
+                idx = out
+            if int(idx.max(initial=0)) >= len(ct):
+                raise ValueError("GIF index out of color-table range")
+            rgb = ct[idx]
+            with_alpha = transparent is not None
+            if with_alpha:
+                alpha = np.where(idx == int(transparent), 0, 255).astype(
+                    np.uint8
+                )
+                frame = np.dstack([rgb, alpha])
+            else:
+                frame = rgb
+            if (left, top, iw, ih) == (0, 0, w, h):
+                return frame
+            # partial first frame: compose onto the logical screen
+            ch = 4 if with_alpha else 3
+            fill = (
+                list(gct[bg]) if gct is not None and bg < len(gct)
+                else [0, 0, 0]
+            )
+            canvas = np.zeros((h, w, ch), dtype=np.uint8)
+            canvas[:, :, :3] = np.array(fill, dtype=np.uint8)
+            if with_alpha:
+                canvas[:, :, 3] = 0  # uncovered screen is transparent
+            y1 = min(top + ih, h)
+            x1 = min(left + iw, w)
+            if y1 > top and x1 > left:
+                canvas[top:y1, left:x1] = frame[: y1 - top, : x1 - left]
+            return canvas
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02X}")
+    raise ValueError("GIF has no image data")
+
+
+def encode_gif(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    transparent: int | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """(H, W) uint8 palette indices + (N ≤ 256, 3) palette → GIF89a.
+    Fixture-side twin of ``decode_gif``: the LZW stream is the trivial
+    legal encoding (CLEAR before every pixel code, so the table never
+    grows) — bloated output, spec-conformant input for any decoder, and
+    it lets tests plant interlaced/transparent frames no off-the-shelf
+    writer emits."""
+    import struct
+
+    idx = np.ascontiguousarray(indices, dtype=np.uint8)
+    if idx.ndim != 2:
+        raise ValueError("indices must be (H, W)")
+    pal = np.ascontiguousarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= len(pal) <= 256:
+        raise ValueError("palette must be (N<=256, 3) uint8")
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("palette index out of range")
+    if transparent is not None and not 0 <= transparent < len(pal):
+        raise ValueError("transparent index out of palette range")
+    h, w = idx.shape
+    # color-table size: power of two ≥ len(pal), ≥ 4 (min_code ≥ 2)
+    bits = max(2, (len(pal) - 1).bit_length())
+    n = 1 << bits
+    table = np.zeros((n, 3), dtype=np.uint8)
+    table[: len(pal)] = pal
+    out = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += table.tobytes()
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    out += struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+    )
+    rows = idx
+    if interlace:
+        order = np.concatenate(
+            [np.arange(start, h, step) for start, step in _GIF_INTERLACE]
+        )
+        rows = idx[order]
+    min_code = bits
+    clear = 1 << min_code
+    end = clear + 1
+    code_size = min_code + 1
+    acc = 0
+    nbits = 0
+    stream = bytearray()
+    # CLEAR resets the decoder's table before every pixel, so the code
+    # size never grows past min_code+1 — trivially legal LZW
+    for px in rows.ravel():
+        for code in (clear, int(px)):
+            acc |= code << nbits
+            nbits += code_size
+            while nbits >= 8:
+                stream.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+    acc |= end << nbits
+    nbits += code_size
+    while nbits > 0:
+        stream.append(acc & 0xFF)
+        acc >>= 8
+        nbits -= 8
+    out += bytes([min_code])
+    for off in range(0, len(stream), 255):
+        chunk = stream[off : off + 255]
+        out += bytes([len(chunk)]) + bytes(chunk)
+    return out + b"\x00\x3b"
+
+
+def gif_feature_decoder(grid: int = 8) -> Callable[[bytes], np.ndarray]:
+    """payload → 64-dim perceptual feature (decode_gif + image_feature);
+    alpha never feeds luminance."""
+
+    def decode(payload: bytes) -> np.ndarray:
+        arr = decode_gif(payload)
+        if arr.ndim == 3 and arr.shape[2] == 4:
+            arr = arr[:, :, :3]
+        return image_feature(arr, grid)
+
+    return decode
+
+
 # T.81 Annex K.1/K.2 reference quantization tables (zigzag order applied
 # at encode time; stored here in raster order for readability)
 _JPEG_QT_LUMA = np.array([
@@ -1819,13 +2097,16 @@ def png_feature_decoder(grid: int = 8) -> Callable[[bytes], np.ndarray]:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch over every codec-free image decoder
-    (PNG/JPEG/BMP/PPM/PGM) — the realistic crawl shape where one binary
-    column carries whatever formats the web served. Raises ValueError on
-    unrecognized magic (same totality contract as each decoder)."""
+    (PNG/JPEG/GIF/BMP/PPM/PGM) — the realistic crawl shape where one
+    binary column carries whatever formats the web served. Raises
+    ValueError on unrecognized magic (same totality contract as each
+    decoder)."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
@@ -1834,7 +2115,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_pgm(payload)
     raise ValueError(
         f"unrecognized image magic {bytes(payload[:8])!r} "
-        "(codec-free formats: PNG/JPEG/BMP/PPM/PGM)"
+        "(codec-free formats: PNG/JPEG/GIF/BMP/PPM/PGM)"
     )
 
 

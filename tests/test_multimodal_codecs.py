@@ -1177,7 +1177,7 @@ def test_media_near_dup_all_formats_one_decoder(spark):
     from lsh_qd_spark.multimodal import decode_image
 
     with pytest.raises(ValueError, match="unrecognized image magic"):
-        decode_image(b"GIF89a not supported")
+        decode_image(b"RIFF0000WEBPVP8 not supported")
 
 
 def test_jpeg_progressive_cross_validates_against_jvm_imageio(spark):
@@ -1242,3 +1242,110 @@ def test_jpeg_progressive_cross_validates_against_jvm_imageio(spark):
         assert int(d.max()) <= 16 and float(d.mean()) < 2, (
             (h, w), d.max(), d.mean()
         )
+
+
+# ---------------------------------------------------------------------------
+# GIF (round 5): LZW + palettes + interlace + transparency
+
+
+def test_gif_roundtrip_interlace_transparency():
+    from lsh_qd_spark.multimodal import decode_gif, decode_image, encode_gif
+
+    rng = np.random.default_rng(91)
+    for trial in range(12):
+        n = int(rng.integers(1, 257))
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+        interlace = bool(trial % 2)
+        tr = int(rng.integers(0, n)) if trial % 3 == 0 else None
+        got = decode_gif(
+            encode_gif(idx, pal, transparent=tr, interlace=interlace)
+        )
+        if tr is None:
+            assert got.shape == (h, w, 3)
+            assert np.array_equal(got, pal[idx]), (trial, h, w)
+        else:
+            assert got.shape == (h, w, 4)
+            assert np.array_equal(got[:, :, :3], pal[idx])
+            assert np.array_equal(
+                got[:, :, 3],
+                np.where(idx == tr, 0, 255).astype(np.uint8),
+            )
+    # the magic-byte dispatcher routes GIF too
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    idx = np.arange(8, dtype=np.uint8).reshape(2, 4) % 4
+    assert np.array_equal(decode_image(encode_gif(idx, pal)), pal[idx])
+
+
+def test_gif_error_paths_total():
+    from lsh_qd_spark.multimodal import decode_gif, encode_gif
+
+    pal = np.arange(24, dtype=np.uint8).reshape(8, 3)
+    idx = np.zeros((5, 6), dtype=np.uint8)
+    payload = encode_gif(idx, pal)
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"PNG nope")
+    with pytest.raises(ValueError):
+        decode_gif(payload[:20])  # truncated inside the color table/blocks
+    # byte-flips: clean ValueError or a (wrong) image, never a crash
+    rng = np.random.default_rng(92)
+    for _ in range(40):
+        broken = bytearray(payload)
+        pos = int(rng.integers(6, len(broken)))
+        broken[pos] ^= 0xFF
+        try:
+            decode_gif(bytes(broken))
+        except ValueError:
+            pass
+
+
+def test_gif_cross_validates_against_jvm_imageio(spark):
+    """Two-sided oracle, EXACT both ways (GIF is lossless past
+    quantization): ImageIO reads our encoder's trivial-LZW output
+    byte-exact (plain + interlaced), and our decoder reads an
+    ImageIO-written GIF (real growing-table LZW) exactly as ImageIO
+    itself re-reads it."""
+    from lsh_qd_spark.multimodal import decode_gif, encode_gif
+
+    jvm = spark._jvm
+    rng = np.random.default_rng(93)
+
+    def jvm_read_rgb(payload, h, w):
+        bis = jvm.java.io.ByteArrayInputStream(bytearray(payload))
+        bimg = jvm.javax.imageio.ImageIO.read(bis)
+        assert bimg is not None, "ImageIO could not parse the GIF"
+        assert (bimg.getHeight(), bimg.getWidth()) == (h, w)
+        out = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                argb = bimg.getRGB(x, y)
+                out[y, x] = (
+                    (argb >> 16) & 255, (argb >> 8) & 255, argb & 255
+                )
+        return out
+
+    pal = rng.integers(0, 256, (31, 3), dtype=np.uint8)
+    idx = rng.integers(0, 31, (14, 19), dtype=np.uint8)
+    for interlace in (False, True):
+        pay = encode_gif(idx, pal, interlace=interlace)
+        assert np.array_equal(jvm_read_rgb(pay, 14, 19), pal[idx]), interlace
+
+    h, w = 21, 17
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    bimg = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in img[y, x])
+            v = (255 << 24) | (r << 16) | (g << 8) | b
+            if v >= 1 << 31:
+                v -= 1 << 32
+            bimg.setRGB(x, y, v)
+    bos = jvm.java.io.ByteArrayOutputStream()
+    jvm.javax.imageio.ImageIO.write(bimg, "gif", bos)
+    pay = bytes(bos.toByteArray())
+    ours = decode_gif(pay)
+    theirs = jvm_read_rgb(pay, h, w)
+    assert np.array_equal(ours[:, :, :3], theirs)

@@ -252,3 +252,31 @@ def test_jpeg_decode_total_on_malformed(data, seed):
             decode_jpeg(bytes(real))
         except ValueError:
             pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(max_size=200), seed=st.integers(0, 2**31 - 1))
+def test_gif_decode_total_on_malformed(data, seed):
+    """decode_gif on arbitrary bytes and byte-flipped real GIFs: returns
+    an array or raises ValueError, never an unhandled crash."""
+    from lsh_qd_spark.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    idx = rng.integers(0, 7, (4, 5), dtype=np.uint8)
+    real = bytearray(
+        encode_gif(idx, pal, interlace=bool(seed % 2),
+                   transparent=3 if seed % 3 == 0 else None)
+    )
+    for payload in (bytes(data), b"GIF89a" + bytes(data)):
+        try:
+            decode_gif(payload)
+        except ValueError:
+            pass
+    if len(real) > 8:
+        pos = 6 + int(rng.integers(0, len(real) - 7))
+        real[pos] ^= 0xFF
+        try:
+            decode_gif(bytes(real))
+        except ValueError:
+            pass
