@@ -1954,6 +1954,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif width == 1:
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif width == 3:  # 24-bit little-endian signed PCM
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        x = v.astype(np.float32) / float(1 << 23)
+    elif width == 4:  # 32-bit signed PCM (stdlib wave is PCM-only)
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / float(1 << 31)
     else:
         raise ValueError(f"unsupported sample width {width}")
     if n_ch > 1:

@@ -1349,3 +1349,47 @@ def test_gif_cross_validates_against_jvm_imageio(spark):
     ours = decode_gif(pay)
     theirs = jvm_read_rgb(pay, h, w)
     assert np.array_equal(ours[:, :, :3], theirs)
+
+
+def test_wav_all_pcm_widths():
+    """decode_wav handles every stdlib-PCM sample width (8/16/24/32-bit),
+    mono and stereo-downmixed, to the same normalized float signal."""
+    import io
+    import wave
+
+    from lsh_qd_spark.multimodal import decode_wav
+
+    t = np.linspace(0, 1, 4000, endpoint=False)
+    x = 0.5 * np.sin(2 * np.pi * 330 * t)
+
+    def make(width: int, n_ch: int = 1) -> bytes:
+        sig = np.repeat(x[:, None], n_ch, axis=1).ravel()
+        if width == 1:
+            raw = (np.clip(sig, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
+        elif width == 2:
+            raw = (np.clip(sig, -1, 1) * 32767).astype("<i2").tobytes()
+        elif width == 3:
+            v = (np.clip(sig, -1, 1) * ((1 << 23) - 1)).astype(np.int64)
+            v = np.where(v < 0, v + (1 << 24), v)
+            b = np.zeros((len(v), 3), dtype=np.uint8)
+            b[:, 0] = v & 255
+            b[:, 1] = (v >> 8) & 255
+            b[:, 2] = (v >> 16) & 255
+            raw = b.tobytes()
+        else:
+            raw = (np.clip(sig, -1, 1) * ((1 << 31) - 1)).astype("<i4").tobytes()
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(n_ch)
+            f.setsampwidth(width)
+            f.setframerate(8000)
+            f.writeframes(raw)
+        return buf.getvalue()
+
+    for width, tol in ((1, 2e-2), (2, 1e-3), (3, 1e-5), (4, 1e-6)):
+        y, rate = decode_wav(make(width))
+        assert rate == 8000 and len(y) == len(x)
+        assert float(np.abs(y - x).max()) < tol, width
+        # stereo downmix of identical channels reproduces the mono signal
+        y2, _ = decode_wav(make(width, n_ch=2))
+        assert float(np.abs(y2 - x).max()) < tol, width
