@@ -199,7 +199,7 @@ def _adam7_passes(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
-    """length + type + data + CRC32 framing (shared by both encoders)."""
+    """length + type + data + CRC32 framing (shared by all encoders)."""
     import struct
     import zlib
 
@@ -208,6 +208,37 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
         + ctype
         + data
         + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+#: channel count → PNG color type (gray / gray+alpha / RGB / RGBA)
+_PNG_COLOR_TYPE_BY_CH = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def _png_assemble(
+    w: int,
+    h: int,
+    depth: int,
+    color_type: int,
+    interlace: int,
+    body: bytes,
+    extra: tuple = (),
+) -> bytes:
+    """SIG + IHDR (+ extra chunks, e.g. PLTE/tRNS) + deflated IDAT + IEND
+    — the one container-assembly path every encoder shares."""
+    import struct
+    import zlib
+
+    out = _PNG_SIG + _png_chunk(
+        b"IHDR",
+        struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace),
+    )
+    for ctype, data in extra:
+        out += _png_chunk(ctype, data)
+    return (
+        out
+        + _png_chunk(b"IDAT", zlib.compress(body, 6))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -604,24 +635,25 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     tests use it to exercise each unfilter path against real zlib-
     compressed bytes. Filtering is fully vectorized (the RECON plane is
     already known when encoding, unlike decoding)."""
-    import struct
-    import zlib
-
     arr = np.ascontiguousarray(img, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ch = arr.shape
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    color_type = _PNG_COLOR_TYPE_BY_CH.get(ch)
     if color_type is None:
         raise ValueError(f"unsupported channel count {ch}")
     body = _png_filter_body(arr, filter_type)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(body, 6))
-        + _png_chunk(b"IEND", b"")
-    )
+    return _png_assemble(w, h, 8, color_type, 0, body)
+
+
+def _png_sample_bytes(arr: np.ndarray) -> np.ndarray:
+    """(H, W, C) uint8 or uint16 → the raster BYTE matrix PNG filters see
+    (uint16 samples become network-order byte pairs). Shared by the
+    16-bit-capable encoders."""
+    if arr.dtype != np.uint16:
+        return arr
+    hp, wp, ch = arr.shape
+    return arr.astype(">u2").view(np.uint8).reshape(hp, wp, ch * 2)
 
 
 def _png_filter_body(arr: np.ndarray, filter_type: int) -> bytes:
@@ -670,38 +702,22 @@ def encode_png_adam7(img: np.ndarray, filter_type: int = 0) -> bytes:
     rasters deflate into one IDAT. Fixture-side twin of ``decode_png``'s
     interlace path (real crawl PNGs are sometimes interlaced for
     progressive rendering)."""
-    import struct
-    import zlib
-
     wide = np.asarray(img).dtype == np.uint16
     arr = np.ascontiguousarray(img, dtype=np.uint16 if wide else np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ch = arr.shape
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    color_type = _PNG_COLOR_TYPE_BY_CH.get(ch)
     if color_type is None:
         raise ValueError(f"unsupported channel count {ch}")
-
-    def pass_bytes(sub: np.ndarray) -> np.ndarray:
-        sub = np.ascontiguousarray(sub)
-        if not wide:
-            return sub
-        hp, wp, _ = sub.shape
-        return sub.astype(">u2").view(np.uint8).reshape(hp, wp, ch * 2)
-
     body = b"".join(
-        _png_filter_body(pass_bytes(arr[y0::dy, x0::dx]), filter_type)
+        _png_filter_body(
+            _png_sample_bytes(np.ascontiguousarray(arr[y0::dy, x0::dx])),
+            filter_type,
+        )
         for x0, y0, dx, dy, _wp, _hp in _adam7_passes(w, h)
     )
-    ihdr = struct.pack(
-        ">IIBBBBB", w, h, 16 if wide else 8, color_type, 0, 0, 1
-    )
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(body, 6))
-        + _png_chunk(b"IEND", b"")
-    )
+    return _png_assemble(w, h, 16 if wide else 8, color_type, 1, body)
 
 
 def encode_png16(img16: np.ndarray, filter_type: int = 0) -> bytes:
@@ -709,27 +725,15 @@ def encode_png16(img16: np.ndarray, filter_type: int = 0) -> bytes:
     twin of ``decode_png``'s 16-bit path (which downsamples to the high
     byte); filtering runs on the packed byte matrix with the correct
     2·C-byte pixel distance."""
-    import struct
-    import zlib
-
     arr = np.ascontiguousarray(img16, dtype=np.uint16)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ch = arr.shape
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    color_type = _PNG_COLOR_TYPE_BY_CH.get(ch)
     if color_type is None:
         raise ValueError(f"unsupported channel count {ch}")
-    as_bytes = (
-        arr.astype(">u2").view(np.uint8).reshape(h, w, ch * 2)
-    )
-    body = _png_filter_body(as_bytes, filter_type)
-    ihdr = struct.pack(">IIBBBBB", w, h, 16, color_type, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(body, 6))
-        + _png_chunk(b"IEND", b"")
-    )
+    body = _png_filter_body(_png_sample_bytes(arr), filter_type)
+    return _png_assemble(w, h, 16, color_type, 0, body)
 
 
 def encode_png_lowdepth(
@@ -745,9 +749,6 @@ def encode_png_lowdepth(
     the favicon-grade shape small crawl images actually use. Rows are
     bit-packed MSB-first per RFC 2083; filtering runs on the packed
     bytes (bpp = 1)."""
-    import struct
-    import zlib
-
     if depth not in (1, 2, 4):
         raise ValueError(f"low-depth encoder supports 1/2/4, got {depth}")
     arr = np.ascontiguousarray(codes, dtype=np.uint8)
@@ -783,17 +784,14 @@ def encode_png_lowdepth(
         )
     else:
         body = pack_rows(arr)
-    color_type = 0 if palette is None else 3
-    ihdr = struct.pack(
-        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
-    )
-    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
-    if palette is not None:
-        out += _png_chunk(b"PLTE", pal.tobytes())
-    return (
-        out
-        + _png_chunk(b"IDAT", zlib.compress(body, 6))
-        + _png_chunk(b"IEND", b"")
+    return _png_assemble(
+        w,
+        h,
+        depth,
+        0 if palette is None else 3,
+        1 if interlace else 0,
+        body,
+        extra=() if palette is None else ((b"PLTE", pal.tobytes()),),
     )
 
 
@@ -807,8 +805,6 @@ def encode_png_palette(
     color-type-3 PNG (optional tRNS alpha table). Real crawl images are
     often palette-quantized; this is the fixture-side twin of
     ``decode_png``'s PLTE path."""
-    import struct
-
     idx = np.ascontiguousarray(indices, dtype=np.uint8)
     if idx.ndim != 2:
         raise ValueError("palette indices must be (H, W)")
@@ -819,21 +815,12 @@ def encode_png_palette(
         raise ValueError("palette index out of range")
     if trns is not None and len(trns) > len(pal):
         raise ValueError("tRNS longer than palette")
-    # reuse encode_png's filtering machinery on the index plane, then
-    # rewrite the container: IHDR color type 3 + PLTE (+ tRNS) chunks
-    gray = encode_png(idx, filter_type=filter_type)
-
     h, w = idx.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
-    rest = gray[33:]  # everything after the signature + IHDR chunk
-    out = (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"PLTE", pal.tobytes())
-    )
+    body = _png_filter_body(idx[:, :, None], filter_type)
+    extra = [(b"PLTE", pal.tobytes())]
     if trns is not None:
-        out += _png_chunk(b"tRNS", trns)
-    return out + rest
+        extra.append((b"tRNS", trns))
+    return _png_assemble(w, h, 8, 3, 0, body, extra=tuple(extra))
 
 
 # ---------------------------------------------------------------------------
@@ -850,6 +837,14 @@ def encode_png_palette(
 # per-payload decode this module does in-sandbox; production adapters
 # still pass PIL for bulk image corpora.
 # ---------------------------------------------------------------------------
+
+#: JPEG decode allocation cap, in SAMPLES (w·h·components). The JPEG path
+#: costs ~14 bytes per sample transient (int32 coefficients + float32
+#: IDCT/plane buffers), not the 1 byte/sample of the PNG raster cap, so
+#: it gets its own bound: 2^26 samples keeps a 12-megapixel RGB photo
+#: decodable (~36M samples) while bounding a crafted near-cap header to
+#: ~1 GB transient instead of the ~5 GB the PNG-cap reuse allowed.
+_JPEG_MAX_SAMPLES = 1 << 26
 
 #: zigzag position → raster index within an 8x8 block (T.81 fig. A.6)
 _JPEG_ZIGZAG = np.array([
@@ -945,6 +940,8 @@ def _jpeg_entropy_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
         if nxt == 0x00:
             cur.append(0xFF)
             i += 2
+        elif nxt == 0xFF:
+            i += 1  # fill byte (T.81 B.1.1.2: any number may pad a marker)
         elif 0xD0 <= nxt <= 0xD7:  # RSTn
             segs.append(bytes(cur))
             cur = bytearray()
@@ -968,7 +965,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
     try:
         return _decode_jpeg_markers(payload)
-    except (struct.error, IndexError) as e:
+    except (struct.error, IndexError, OverflowError) as e:
+        # OverflowError: a corrupted stream can run the unbounded DC
+        # predictor past int32 before any plausibility check can see it
         raise ValueError(f"malformed JPEG: {e}") from e
 
 
@@ -1075,7 +1074,11 @@ def _decode_jpeg_markers(payload: bytes) -> np.ndarray:
     h, w, comps = sof
     if w <= 0 or h <= 0:
         raise ValueError("invalid JPEG dimensions")
-    if w * h * max(len(comps), 1) > _PNG_MAX_RASTER_BYTES:
+    if len(comps) not in (1, 3):
+        # reject CMYK/2-comp BEFORE entropy decode and reconstruction —
+        # the color-convert tail only handles gray and YCbCr anyway
+        raise ValueError(f"unsupported JPEG component count {len(comps)}")
+    if w * h * len(comps) > _JPEG_MAX_SAMPLES:
         raise ValueError("JPEG dimensions exceed decode cap")
     if progressive:
         return _jpeg_decode_progressive(h, w, comps, scans, qt)
@@ -1365,14 +1368,19 @@ def _jpeg_reconstruct(h, w, states, hmax, vmax) -> np.ndarray:
     """Shared tail of the sequential and progressive decoders: dequant +
     IDCT (one einsum per component) + fancy chroma upsample + color
     convert."""
-    a = _jpeg_dct_matrix()
+    # float32 throughout: IDCT at this precision is within ±1 LSB of the
+    # float64 result for 8-bit samples, at half the transient footprint
+    # (this path is sized by _JPEG_MAX_SAMPLES)
+    a = _jpeg_dct_matrix().astype(np.float32)
     planes = []
     for st in states:
         deq = st["coef"] * st["q"][None, :]  # both in zigzag order
-        blocks = np.zeros((len(deq), 64), dtype=np.float64)
+        blocks = np.zeros((len(deq), 64), dtype=np.float32)
         blocks[:, _JPEG_ZIGZAG] = deq
         blocks = blocks.reshape(-1, 8, 8)
-        spatial = np.einsum("ij,njk,kl->nil", a.T, blocks, a) + 128.0
+        spatial = np.einsum("ij,njk,kl->nil", a.T, blocks, a) + np.float32(
+            128.0
+        )
         plane = (
             spatial.reshape(st["bh"], st["bw"], 8, 8)
             .transpose(0, 2, 1, 3)
@@ -1386,14 +1394,14 @@ def _jpeg_reconstruct(h, w, states, hmax, vmax) -> np.ndarray:
         if vmax // st["V"] == 2:
             prev = np.vstack([plane[:1], plane[:-1]])
             nxt = np.vstack([plane[1:], plane[-1:]])
-            up = np.empty((plane.shape[0] * 2, plane.shape[1]))
+            up = np.empty((plane.shape[0] * 2, plane.shape[1]), plane.dtype)
             up[0::2] = (3.0 * plane + prev) / 4.0
             up[1::2] = (3.0 * plane + nxt) / 4.0
             plane = up
         if hmax // st["H"] == 2:
             prev = np.hstack([plane[:, :1], plane[:, :-1]])
             nxt = np.hstack([plane[:, 1:], plane[:, -1:]])
-            up = np.empty((plane.shape[0], plane.shape[1] * 2))
+            up = np.empty((plane.shape[0], plane.shape[1] * 2), plane.dtype)
             up[:, 0::2] = (3.0 * plane + prev) / 4.0
             up[:, 1::2] = (3.0 * plane + nxt) / 4.0
             plane = up
@@ -1480,7 +1488,18 @@ def decode_gif(payload: bytes) -> np.ndarray:
     graphic-control extension declares a transparent index (alpha 0
     there, and on any screen area the frame does not cover). Interlaced
     frames are de-interlaced; animations return the FIRST frame composed
-    onto the logical screen."""
+    onto the logical screen. Malformed input always raises ValueError
+    (totality), and BOTH the logical-screen and frame dimensions are
+    capped before any pixel allocation."""
+    import struct
+
+    try:
+        return _decode_gif_inner(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed GIF: {e}") from e
+
+
+def _decode_gif_inner(payload: bytes) -> np.ndarray:
     import struct
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -1527,8 +1546,11 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 "<HHHHB", payload, i + 1
             )
             i += 10
-            if iw <= 0 or ih <= 0:
-                raise ValueError("invalid GIF frame dimensions")
+            if iw <= 0 or ih <= 0 or iw * ih * 4 > _PNG_MAX_RASTER_BYTES:
+                # the FRAME dims need their own cap: a 1x1 logical screen
+                # with a 65535x65535 descriptor would otherwise let a tiny
+                # KwKwK-growing LZW stream allocate gigabytes
+                raise ValueError(f"invalid GIF frame dimensions {iw}x{ih}")
             ct = gct
             if lflags & 0x80:
                 n = 2 << (lflags & 7)

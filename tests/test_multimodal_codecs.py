@@ -1393,3 +1393,88 @@ def test_wav_all_pcm_widths():
         # stereo downmix of identical channels reproduces the mono signal
         y2, _ = decode_wav(make(width, n_ch=2))
         assert float(np.abs(y2 - x).max()) < tol, width
+
+
+def test_gif_frame_dimension_bomb_rejected():
+    """Round-5 review fix: a tiny logical screen with a huge image
+    descriptor must be rejected before any pixel allocation."""
+    import struct
+
+    from lsh_qd_spark.multimodal import decode_gif
+
+    payload = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 1, 1, 0x80, 0, 0)  # 1x1 screen, 2-entry GCT
+        + bytes(6)  # global color table
+        + struct.pack("<BHHHHB", 0x2C, 0, 0, 65535, 65535, 0)  # huge frame
+        + bytes([2, 1, 0x44, 0])  # min_code + one sub-block + terminator
+        + b"\x3b"
+    )
+    with pytest.raises(ValueError, match="frame dimensions"):
+        decode_gif(payload)
+
+
+def test_gif_truncated_descriptor_is_valueerror():
+    """Round-5 review fix: truncation inside the image descriptor must be
+    a ValueError, not a struct.error escaping the totality contract."""
+    import struct
+
+    from lsh_qd_spark.multimodal import decode_gif
+
+    payload = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0, 0, 0) + b"\x2c\x00"
+    with pytest.raises(ValueError):
+        decode_gif(payload)
+
+
+def test_jpeg_fill_bytes_before_restart_marker():
+    """Round-5 review fix: T.81 B.1.1.2 allows any number of 0xFF fill
+    bytes before a marker — a conformant stream padded before its RSTn
+    markers must still decode."""
+    from lsh_qd_spark.multimodal import decode_jpeg, encode_jpeg_baseline
+
+    img = _smooth_image(99, h=24, w=24)
+    payload = encode_jpeg_baseline(img, quality=95, restart_interval=1)
+    clean = decode_jpeg(payload)
+    # inject a fill byte before every restart marker
+    padded = bytearray()
+    i = 0
+    while i < len(payload):
+        if (
+            payload[i] == 0xFF
+            and i + 1 < len(payload)
+            and 0xD0 <= payload[i + 1] <= 0xD7
+        ):
+            padded.append(0xFF)  # fill byte
+        padded.append(payload[i])
+        i += 1
+    got = decode_jpeg(bytes(padded))
+    assert np.array_equal(got, clean)
+
+
+def test_jpeg_cmyk_and_dimension_cap_rejected_early():
+    """Round-5 review fix: unsupported component counts and over-cap
+    dimensions fail from the header, before entropy decode."""
+    import struct
+
+    from lsh_qd_spark.multimodal import decode_jpeg, encode_jpeg_baseline
+
+    img = _smooth_image(98, h=8, w=8)
+    payload = encode_jpeg_baseline(img, quality=90)
+    sof_at = payload.index(b"\xff\xc0")
+
+    # a well-formed 4-component (CMYK-shaped) header: rejected by the
+    # count check with no DQT/DHT/entropy work at all
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    sof4 = struct.pack(">BHHB", 8, 8, 8, 4) + bytes(
+        [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1, 4, 0x11, 1]
+    )
+    sos4 = bytes([4, 1, 0, 2, 0, 3, 0, 4, 0, 0, 63, 0])
+    cmyk = b"\xff\xd8" + seg(0xC0, sof4) + seg(0xDA, sos4) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="component count"):
+        decode_jpeg(cmyk)
+    huge = bytearray(payload)
+    struct.pack_into(">HH", huge, sof_at + 5, 40000, 40000)
+    with pytest.raises(ValueError, match="cap"):
+        decode_jpeg(bytes(huge))
