@@ -83,6 +83,12 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = shingled.where(F.size("shingles") > 0).select(
         "doc_id", udf(F.col("shingles")).alias("simhash")
     )
+    # eager localCheckpoint: fp has FOUR consumers (simhash_chunks feeding
+    # candidate_pairs' size pass + member pass, and the two fingerprint
+    # joins below) — unmaterialized, each re-runs the whole shingle +
+    # simhash kernel chain (measured: ~4x the query's wall time). Blocks
+    # are reference-tracked (freed with the plan); rows are (id, int64).
+    fp = fp.localCheckpoint(eager=True)
     buckets = simhash_chunks(fp)
     cand = candidate_pairs(buckets, alpha=1, max_bucket_size=100_000)
     f = fp.select(F.col("doc_id").alias("_fid"), F.col("simhash").alias("_fh"))

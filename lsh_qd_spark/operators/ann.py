@@ -29,28 +29,50 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def cosine_expr(a: Column, b: Column) -> Column:
-    """Sequential-fold cosine (bit-identical to the DuckDB oracle twin)."""
-    dot = F.aggregate(
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (bit-identical to the DuckDB twin)."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
-    def norm(v: Column) -> Column:
-        return F.sqrt(
-            F.aggregate(
-                F.transform(v, lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
 
-    # try_divide, not `/`: under Spark 4's default ANSI mode a zero-norm
-    # (dead) embedding would raise DIVIDE_BY_ZERO and abort the job; the
-    # downstream isNotNull filters rely on NULL here, and DuckDB's `/`
-    # (the oracle twin) also yields NULL on a zero denominator.
-    return F.try_divide(dot, norm(a) * norm(b))
+def norm_expr(v: Column) -> Column:
+    """Sequential-fold L2 norm (bit-identical to the DuckDB twin)."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_from_norms(dot: Column, norm_a: Column, norm_b: Column) -> Column:
+    """cosine from a dot product and PRE-COMPUTED per-side norms.
+
+    Why this exists (optimization guide §1.2 "don't compute things you
+    throw away"): the all-pairs scorers evaluate cosine once per PAIR, and
+    inlining ``cosine_expr`` there re-folds each vector's norm once per
+    pair — O(pairs) norm folds for O(rows) distinct vectors (measured:
+    2/3 of embedding_near_dup's expression time). Projecting ``norm_expr``
+    per ROW before the join and dividing here computes each norm exactly
+    once. Bit-identical to ``cosine_expr``: same fold producing the same
+    double per vector, same ``norm_a * norm_b`` operand order, same
+    try_divide NULL-on-zero semantics (the DuckDB twins divide the same
+    way).
+
+    try_divide, not `/`: under Spark 4's default ANSI mode a zero-norm
+    (dead) embedding would raise DIVIDE_BY_ZERO and abort the job; the
+    downstream isNotNull filters rely on NULL here, and DuckDB's `/`
+    (the oracle twin) also yields NULL on a zero denominator."""
+    return F.try_divide(dot, norm_a * norm_b)
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Sequential-fold cosine (bit-identical to the DuckDB oracle twin)."""
+    return cosine_from_norms(dot_expr(a, b), norm_expr(a), norm_expr(b))
 
 
 def brute_force_topk(
@@ -61,14 +83,27 @@ def brute_force_topk(
     emb_col: str = "embedding",
 ) -> DataFrame:
     """(query_id, rank, neighbor_id, cosine): exact top-k by cosine."""
+    # norms are projected per ROW before the pair join (guide §1.2): the
+    # inline cosine_expr would re-fold each side's norm once per PAIR
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        norm_expr(F.col(emb_col)).alias("_qn"),
     )
-    joined = corpus.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("n_emb"),
+        norm_expr(F.col(emb_col)).alias("_nn"),
+    )
+    joined = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
     scored = joined.select(
         "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        cosine_expr(F.col("q_emb"), F.col(emb_col)).alias("cosine"),
+        "neighbor_id",
+        cosine_from_norms(
+            dot_expr(F.col("q_emb"), F.col("n_emb")),
+            F.col("_qn"),
+            F.col("_nn"),
+        ).alias("cosine"),
     )
     # a zero-norm embedding (dead row) divides by zero -> NULL cosine;
     # exclude it rather than emit (rank, neighbor_id, NULL) filler rows
@@ -201,19 +236,42 @@ def ivf_topk(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    return _score_and_rank(cand, corpus, queries, k, id_col, emb_col)
+
+
+def _score_and_rank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    emb_col: str,
+) -> DataFrame:
+    """Shared fetch-late scorer for the approximate paths: attach
+    embeddings (+ per-row precomputed norms — guide §1.2, norms must not
+    re-fold once per candidate pair) to deduped candidates, sequential-fold
+    cosine, deterministic window rank."""
     q_emb = queries.select(
-        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        norm_expr(F.col(emb_col)).alias("_qn"),
     )
     c_emb = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("n_emb")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("n_emb"),
+        norm_expr(F.col(emb_col)).alias("_nn"),
     )
     scored = (
-        cand.join(F.broadcast(q_emb), "query_id")
+        cand.join(F.broadcast(q_emb), "query_id")  # query side is small
         .join(c_emb, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            cosine_expr(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
+            cosine_from_norms(
+                dot_expr(F.col("q_emb"), F.col("n_emb")),
+                F.col("_qn"),
+                F.col("_nn"),
+            ).alias("cosine"),
         )
     )
     # a zero-norm embedding (dead row) divides by zero -> NULL cosine;
@@ -268,28 +326,4 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    q_emb = queries.select(
-        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
-    )
-    c_emb = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("n_emb")
-    )
-    scored = (
-        cand.join(F.broadcast(q_emb), "query_id")  # query side is small
-        .join(c_emb, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_expr(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
-        )
-    )
-    # a zero-norm embedding (dead row) divides by zero -> NULL cosine;
-    # exclude it rather than emit (rank, neighbor_id, NULL) filler rows
-    # when a candidate set is smaller than k. SQL twins filter identically.
-    scored = scored.where(F.col("cosine").isNotNull())
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return _score_and_rank(cand, corpus, queries, k, id_col, emb_col)

@@ -43,14 +43,23 @@ NEAR_DUP_COSINE = 0.98
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lsh_qd_spark.io import read_pages
+    from lsh_qd_spark.plans.pipeline import spread_small_input
 
-    return read_pages(spark, f"{sf_dir}/documents.parquet")
+    # the driver sf tables are single-row-group files: without the spread
+    # every query's scan-side chain runs on ONE core (guide §2.5 — input
+    # that cannot split). No-op for well-split inputs; row set unchanged.
+    return spread_small_input(
+        read_pages(spark, f"{sf_dir}/documents.parquet")
+    )
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lsh_qd_spark.io import read_pages
+    from lsh_qd_spark.plans.pipeline import spread_small_input
 
-    return read_pages(spark, f"{sf_dir}/embeddings.parquet")
+    return spread_small_input(
+        read_pages(spark, f"{sf_dir}/embeddings.parquet")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -838,13 +847,37 @@ SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {ANN_TOP_K}
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (brute force; the oracle twin
     of the LSH-accelerated variant in operators/ann.py)."""
+    from lsh_qd_spark.operators.ann import (
+        cosine_from_norms,
+        dot_expr,
+        norm_expr,
+    )
+
     emb = _embeddings(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    # per-ROW norm precompute (guide §1.2): the all-pairs join evaluates
+    # cosine O(n²) times — inlining cosine_expr would re-fold each
+    # vector's norm once per pair. Same fold, same operand order, same
+    # doubles as cosine_expr (the oracle hash is unchanged).
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        norm_expr(F.col("embedding")).alias("_na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        norm_expr(F.col("embedding")).alias("_nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", _cosine_expr(F.col("ea"), F.col("eb")).alias("cosine")
+            "id_a",
+            "id_b",
+            cosine_from_norms(
+                dot_expr(F.col("ea"), F.col("eb")),
+                F.col("_na"),
+                F.col("_nb"),
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= NEAR_DUP_COSINE)
     )

@@ -40,6 +40,76 @@ STAGES = ["shingles", "signatures", "buckets", "pairs", "verified", "clusters"]
 _MULTI_CONSUMER_STAGES = {"shingles", "buckets", "pairs", "verified"}
 
 
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ('16m', '128MB', '1g', '4194304')."""
+    s = str(v).strip().lower().removesuffix("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if s.endswith(suffix):
+            s, mult = s[:-1], m
+            break
+    return int(float(s) * mult)
+
+
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Scale-adaptive read parallelism (optimization guide §2.5 "input
+    skew: one huge unsplittable file").
+
+    A single-file/single-row-group parquet input scans as ONE task no
+    matter how many cores the session has — every narrow chain above it
+    (the signature kernel, verify text fetch, JVM expression maps) then
+    runs sequentially. When the scan can produce fewer splits than the
+    session's cores, round-robin repartition to the core count; inputs
+    that already split well (the 64-file bench corpus, any at-scale
+    table) are returned UNCHANGED, so this never adds a shuffle at real
+    scale — it only rescues the degenerate small-input layout. Row set
+    (and therefore every downstream result) is identical either way.
+
+    Split capacity is estimated WITHOUT touching ``df.rdd`` (whose first
+    DataFrame→RDD conversion costs seconds of cold driver time, measured
+    inside the first query's timed window): ``df.inputFiles()`` plus
+    driver-local file sizes bound the byte-range splits, and the parquet
+    footer's row-group count caps them (a 1-row-group file yields ONE
+    task regardless of byte ranges). Non-local or non-file-backed plans
+    (catalog tables, in-memory test frames) are returned unchanged —
+    conservative, never fatal."""
+    try:
+        spark = df.sparkSession
+        n = spark.sparkContext.defaultParallelism
+        files = df.inputFiles()
+        if not files or len(files) >= n:
+            return df
+        mpb = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        splits = 0
+        for uri in files:
+            path = uri
+            if path.startswith("file:"):
+                path = path[5:]
+                while path.startswith("//"):
+                    path = path[1:]
+            if not os.path.exists(path):
+                return df  # non-local storage: leave the layout alone
+            est = max(1, -(-os.path.getsize(path) // mpb))
+            if est > 1 and path.endswith(".parquet"):
+                try:  # byte ranges cannot split below row-group granularity
+                    import pyarrow.parquet as _pq
+
+                    est = min(
+                        est,
+                        _pq.ParquetFile(path).metadata.num_row_groups or 1,
+                    )
+                except Exception:  # noqa: BLE001 — estimate stays bytes-based
+                    pass
+            splits += est
+            if splits >= n:
+                return df
+        return df.repartition(n)
+    except Exception:  # noqa: BLE001 — planning-only helper, never fatal
+        return df
+
+
 @dataclass
 class StageMetrics:
     rows: int
@@ -262,6 +332,23 @@ class DedupPipeline:
         c = self.config
         return band_buckets(sigs, c.rows_per_band, c.num_bands, key_mode)
 
+    def _partitioned_buckets(
+        self, sigs: DataFrame, key_mode: str = "xxhash64"
+    ) -> DataFrame:
+        """Bucket rows hash-partitioned on the bucket key BEFORE run()'s
+        persist (optimization guide §2.4 "two operations keyed the same way
+        can share one exchange"): candidate_pairs aggregates bucket rows
+        twice on (band_idx, band_key) — the size/rep pass and the
+        member-collect pass. Persisting the repartitioned rows means the
+        cache itself carries HashPartitioning, so BOTH aggregations (and
+        the mega-bucket star join) read it exchange-free: one wide bucket
+        shuffle per run instead of two (plan-pinned: the 'after' plans in
+        plans/r06 show one Exchange hashpartitioning over bucket rows where
+        the 'before' plans show two)."""
+        return self.buckets(sigs, key_mode).repartition(
+            "band_idx", "band_key"
+        )
+
     def pairs(self, buckets: DataFrame) -> DataFrame:
         c = self.config
         return candidate_pairs(
@@ -319,6 +406,9 @@ class DedupPipeline:
         instead of silently returning the old corpus's stages.
         """
         spark = docs.sparkSession
+        # degenerate-input rescue: a one-row-group corpus must not serialize
+        # the signature kernel and the verify text fetch onto one core
+        docs = spread_small_input(docs)
         store = (
             StageStore(
                 spark,
@@ -364,7 +454,7 @@ class DedupPipeline:
                 "signatures",
                 lambda: self.signatures_from_text(docs, text_col, id_col),
             )
-            bucketed = stage("buckets", lambda: self.buckets(sigs))
+            bucketed = stage("buckets", lambda: self._partitioned_buckets(sigs))
             cand = stage("pairs", lambda: self.pairs(bucketed))
             ver = stage(
                 "verified",
@@ -389,7 +479,7 @@ class DedupPipeline:
                 "shingles", lambda: self.shingle(docs, text_col, id_col)
             )
             sigs = stage("signatures", lambda: self.signatures(shingled))
-            bucketed = stage("buckets", lambda: self.buckets(sigs))
+            bucketed = stage("buckets", lambda: self._partitioned_buckets(sigs))
             cand = stage("pairs", lambda: self.pairs(bucketed))
             ver = stage("verified", lambda: self.verified(cand, shingled))
         # Singleton vertices = every doc with a non-null sig (reference
