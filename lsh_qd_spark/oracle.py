@@ -278,7 +278,11 @@ def q_query_mode_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors must collide in ≥ alpha bands."""
     from lsh_qd_spark.operators.query import query_neighbors
 
-    buckets = _bucket_df(spark, sf_dir)
+    # eager localCheckpoint: the bucket chain feeds BOTH join sides
+    # (corpus + the doc_id<N query slice) — unmaterialized, the whole
+    # portable-hash banding chain executes twice per action. Blocks are
+    # reference-tracked (freed with the plan); oracle-scale rows only.
+    buckets = _bucket_df(spark, sf_dir).localCheckpoint(eager=True)
     qb = buckets.where(F.col("doc_id") < QUERY_MODE_N_QUERIES)
     return query_neighbors(buckets, qb, alpha=QUERY_MODE_ALPHA).select(
         "query_id", "doc_id", F.col("n_bands").cast("long").alias("n_bands")
@@ -324,7 +328,14 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lsh_qd_spark.operators.verify import jaccard_expr
 
     pipe = DedupPipeline(ORACLE_CFG)
-    sh = pipe.shingle(_docs(spark, sf_dir)).where(F.size("shingles") > 0)
+    # eager localCheckpoint: the shingle table feeds five consumers (the
+    # exploded index in three join paths + both verify sides) — without
+    # materialization each re-runs the portable-hash shingle chain
+    sh = (
+        pipe.shingle(_docs(spark, sf_dir))
+        .where(F.size("shingles") > 0)
+        .localCheckpoint(eager=True)
+    )
     ex = sh.select("doc_id", F.explode("shingles").alias("g"))
     ok_grams = (
         ex.groupBy("g")
@@ -394,7 +405,8 @@ def q_ranked_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision count, tier i = alpha cut ≥ RANKED_TIER_ALPHAS[i]."""
     from lsh_qd_spark.operators.ranked import ranked_neighbors_alpha
 
-    buckets = _bucket_df(spark, sf_dir)
+    # same two-consumer shape as q_query_mode_neighbors — checkpoint once
+    buckets = _bucket_df(spark, sf_dir).localCheckpoint(eager=True)
     qb = buckets.where(F.col("doc_id") < QUERY_MODE_N_QUERIES)
     return ranked_neighbors_alpha(
         buckets, qb, list(RANKED_TIER_ALPHAS)
@@ -438,7 +450,11 @@ def q_alpha_tier_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lsh_qd_spark.operators.query import alpha_tiers
 
     pipe = DedupPipeline(ORACLE_CFG)
-    cand = pipe.pairs(_bucket_df(spark, sf_dir))
+    # eager localCheckpoint: each alpha tier below is a separate cut of
+    # this pair table, and the 4-way union would otherwise re-plan (and
+    # without reliable exchange reuse, re-run) the banding+pairs chain
+    # once per tier. Post-alpha pairs are tiny at oracle scale.
+    cand = pipe.pairs(_bucket_df(spark, sf_dir)).localCheckpoint(eager=True)
     tiers = alpha_tiers(cand, list(ALPHA_TIER_ALPHAS))
     rows = [
         df.select(F.lit(a).alias("alpha"), "id_a") for a, df in tiers.items()
@@ -957,7 +973,12 @@ def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # accounting and the transformation cannot drift
     segs = token_segments(toks, SEG_LEN)
     base = docs.select("doc_id", n.alias("_n"), segs.alias("_segs"))
-    exploded = base.select("doc_id", F.explode("_segs").alias("seg"))
+    # eager localCheckpoint: the exploded segment rows feed the
+    # document-frequency aggregation AND the per-doc join below —
+    # unmaterialized, the tokenize+segment expression chain runs twice
+    exploded = base.select(
+        "doc_id", F.explode("_segs").alias("seg")
+    ).localCheckpoint(eager=True)
     seg_df = exploded.groupBy("seg").agg(
         F.countDistinct("doc_id").alias("seg_df")
     )
