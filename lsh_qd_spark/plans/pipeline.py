@@ -72,7 +72,14 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     footer's row-group count caps them (a 1-row-group file yields ONE
     task regardless of byte ranges). Non-local or non-file-backed plans
     (catalog tables, in-memory test frames) are returned unchanged —
-    conservative, never fatal."""
+    conservative, never fatal.
+
+    ``SPARK_GRAFT_SPREAD_SMALL_INPUT=0`` disables the rescue — used by
+    plan_audit.py so BENCH/PLANS.md keeps pinning the AT-SCALE plan shape
+    (where this helper is a no-op because real inputs split well) instead
+    of the small-input rescue shape."""
+    if os.environ.get("SPARK_GRAFT_SPREAD_SMALL_INPUT", "1") == "0":
+        return df
     try:
         spark = df.sparkSession
         n = spark.sparkContext.defaultParallelism
