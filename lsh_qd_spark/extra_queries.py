@@ -41,7 +41,7 @@ from lsh_qd_spark.operators.ann import (
     lsh_topk,
 )
 from lsh_qd_spark.operators.band import band_buckets
-from lsh_qd_spark.operators.pairs import candidate_pairs
+from lsh_qd_spark.operators.pairs import _full_pairs
 from lsh_qd_spark.operators.suffix import exact_overlap
 from lsh_qd_spark.oracle import (
     # ANN_N_QUERIES/ANN_TOP_K are shared with the brute-force twin
@@ -83,19 +83,43 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = shingled.where(F.size("shingles") > 0).select(
         "doc_id", udf(F.col("shingles")).alias("simhash")
     )
-    # eager localCheckpoint: fp has FOUR consumers (simhash_chunks feeding
-    # candidate_pairs' size pass + member pass, and the two fingerprint
-    # joins below) — unmaterialized, each re-runs the whole shingle +
-    # simhash kernel chain (measured: ~4x the query's wall time). Blocks
-    # are reference-tracked (freed with the plan); rows are (id, int64).
+    # eager localCheckpoint: fp has three consumers below (chunk banding +
+    # the two broadcast fingerprint joins) — unmaterialized, each re-runs
+    # the whole shingle + simhash kernel chain (measured: ~4x the query's
+    # wall time). Blocks are reference-tracked (freed with the plan).
     fp = fp.localCheckpoint(eager=True)
-    buckets = simhash_chunks(fp)
-    cand = candidate_pairs(buckets, alpha=1, max_bucket_size=100_000)
+    # Verify-before-shuffle candidate flow (optimization guide §2.3
+    # "aggregate/filter before you shuffle"). The generic candidate_pairs
+    # operator counts per-pair band collisions FIRST — a wide
+    # groupBy(id_a, id_b) exchange over every within-bucket pair. This
+    # query discards that count (alpha=1, no n_bands output), and the
+    # oracle corpus makes the pair set quadratic by construction: shingle
+    # ids are poly hashes < 2^31, so simhash bits 32–63 are 0 for EVERY
+    # document and chunks 2–3 are each one corpus-wide bucket —
+    # C(n,2) candidate pairs (12.5M at sf0.1) were being shuffled to
+    # count bands nobody read (measured: ~22 s of the query's 28 s).
+    # Instead: explode within-bucket pairs (narrow JVM), attach both
+    # fingerprints by BROADCAST join (fp is id+int64 — tiny), filter
+    # Hamming ≤ r BEFORE any exchange, and dedup only the survivors.
+    # Result-identical: the same candidate set reaches the same Hamming
+    # cut; a pair colliding in several chunks yields identical rows that
+    # dropDuplicates collapses — the oracle twin pins the equivalence.
+    members = (
+        simhash_chunks(fp)
+        .groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("members"))
+        .where(F.size("members") >= 2)
+    )
+    exploded = members.select(
+        F.explode(_full_pairs(F.col("members"))).alias("pr")
+    ).select(F.col("pr.id_a"), F.col("pr.id_b"))
     f = fp.select(F.col("doc_id").alias("_fid"), F.col("simhash").alias("_fh"))
     return (
-        cand.join(f.withColumnRenamed("_fid", "id_a"), "id_a")
+        exploded.join(
+            F.broadcast(f.withColumnRenamed("_fid", "id_a")), "id_a"
+        )
         .withColumnRenamed("_fh", "h_a")
-        .join(f.withColumnRenamed("_fid", "id_b"), "id_b")
+        .join(F.broadcast(f.withColumnRenamed("_fid", "id_b")), "id_b")
         .withColumnRenamed("_fh", "h_b")
         .select(
             "id_a",
@@ -103,6 +127,7 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming_expr(F.col("h_a"), F.col("h_b")).cast("long").alias("hamming"),
         )
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
