@@ -441,6 +441,16 @@ class DedupPipeline:
         # release them before persisting this run's
         self.release()
 
+        # Bucket-key pre-partitioning (see _partitioned_buckets) pays off
+        # only on the persist() path, where the in-memory cache CARRIES the
+        # HashPartitioning into candidate_pairs' aggregations. The stage
+        # store round-trips parquet, which drops partitioning on read —
+        # there the repartition would be a pure extra shuffle before the
+        # stage write, so checkpointed runs keep the plain banding.
+        buckets_stage = (
+            self.buckets if store is not None else self._partitioned_buckets
+        )
+
         def stage(name: str, build, identity: dict | None = None) -> DataFrame:
             if store is not None:
                 cached = store.load(name, identity)
@@ -472,7 +482,7 @@ class DedupPipeline:
                 "signatures",
                 lambda: self.signatures_from_text(docs, text_col, id_col),
             )
-            bucketed = stage("buckets", lambda: self._partitioned_buckets(sigs))
+            bucketed = stage("buckets", lambda: buckets_stage(sigs))
             cand = stage("pairs", lambda: self.pairs(bucketed))
             ver = stage(
                 "verified",
@@ -497,7 +507,7 @@ class DedupPipeline:
                 "shingles", lambda: self.shingle(docs, text_col, id_col)
             )
             sigs = stage("signatures", lambda: self.signatures(shingled))
-            bucketed = stage("buckets", lambda: self._partitioned_buckets(sigs))
+            bucketed = stage("buckets", lambda: buckets_stage(sigs))
             cand = stage("pairs", lambda: self.pairs(bucketed))
             ver = stage("verified", lambda: self.verified(cand, shingled))
         # Singleton vertices = every doc with a non-null sig (reference
