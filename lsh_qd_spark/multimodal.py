@@ -1124,43 +1124,75 @@ def _jpeg_decode_scan(
     rd = _JpegBitReader(segs[0])
     preds = [0] * len(states)
     mcus_in_seg = 0
+
+    def next_restart_segment():
+        nonlocal seg_idx, rd, mcus_in_seg
+        seg_idx += 1
+        if seg_idx >= len(segs):
+            raise ValueError("JPEG truncated at restart boundary")
+        rd = _JpegBitReader(segs[seg_idx])
+        preds[:] = [0] * len(states)
+        mcus_in_seg = 0
+
+    def decode_block(ci, st, row):
+        t = _jpeg_huff_decode(rd, st["dc"])
+        if t > 15:
+            # only possible via a corrupted DHT: a size
+            # this large would overflow the coef array
+            raise ValueError(f"invalid JPEG DC size {t}")
+        diff = _jpeg_extend(rd.get(t), t) if t else 0
+        preds[ci] += diff
+        row[0] = preds[ci]
+        k = 1
+        while k < 64:
+            rs = _jpeg_huff_decode(rd, st["ac"])
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run past block end")
+            row[k] = _jpeg_extend(rd.get(s), s)
+            k += 1
+
+    if len(states) == 1:
+        # T.81: a one-component scan is NON-INTERLEAVED — the MCU is a
+        # single block and the scan covers the component's real block
+        # grid ceil(cw/8) x ceil(ch/8), NOT the grid padded by its own
+        # sampling factors. A legal grayscale JPEG declaring H/V=2 would
+        # otherwise be walked over 4x the blocks its entropy stream
+        # encodes and fail with 'invalid JPEG huffman code' (ADVICE.md).
+        # For H=V=1 this traversal is identical to the MCU loop below.
+        st = states[0]
+        cw = (w * st["H"] + hmax - 1) // hmax
+        chh = (h * st["V"] + vmax - 1) // vmax
+        for by in range((chh + 7) // 8):
+            for bx in range((cw + 7) // 8):
+                if restart_interval and mcus_in_seg == restart_interval:
+                    next_restart_segment()
+                decode_block(0, st, st["coef"][by * st["bw"] + bx])
+                mcus_in_seg += 1
+        return _jpeg_reconstruct(h, w, states, hmax, vmax)
+
     for my in range(mcy):
         for mx in range(mcx):
             if restart_interval and mcus_in_seg == restart_interval:
-                seg_idx += 1
-                if seg_idx >= len(segs):
-                    raise ValueError("JPEG truncated at restart boundary")
-                rd = _JpegBitReader(segs[seg_idx])
-                preds = [0] * len(states)
-                mcus_in_seg = 0
+                next_restart_segment()
             for ci, st in enumerate(states):
                 for by in range(st["V"]):
                     for bx in range(st["H"]):
-                        t = _jpeg_huff_decode(rd, st["dc"])
-                        if t > 15:
-                            # only possible via a corrupted DHT: a size
-                            # this large would overflow the coef array
-                            raise ValueError(f"invalid JPEG DC size {t}")
-                        diff = _jpeg_extend(rd.get(t), t) if t else 0
-                        preds[ci] += diff
-                        row = st["coef"][
-                            (my * st["V"] + by) * st["bw"] + mx * st["H"] + bx
-                        ]
-                        row[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _jpeg_huff_decode(rd, st["ac"])
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run past block end")
-                            row[k] = _jpeg_extend(rd.get(s), s)
-                            k += 1
+                        decode_block(
+                            ci,
+                            st,
+                            st["coef"][
+                                (my * st["V"] + by) * st["bw"]
+                                + mx * st["H"]
+                                + bx
+                            ],
+                        )
             mcus_in_seg += 1
 
     return _jpeg_reconstruct(h, w, states, hmax, vmax)
@@ -1374,7 +1406,11 @@ def _jpeg_reconstruct(h, w, states, hmax, vmax) -> np.ndarray:
     a = _jpeg_dct_matrix().astype(np.float32)
     planes = []
     for st in states:
-        deq = st["coef"] * st["q"][None, :]  # both in zigzag order
+        # int64 product: coef is int32 and q can be 16-bit — a crafted
+        # stream with a large accumulated DC predictor times a big quant
+        # entry can wrap int32 silently (garbage pixels instead of a
+        # loud error — ADVICE.md); the float32 cast below is unchanged
+        deq = st["coef"].astype(np.int64) * st["q"][None, :]  # zigzag order
         blocks = np.zeros((len(deq), 64), dtype=np.float32)
         blocks[:, _JPEG_ZIGZAG] = deq
         blocks = blocks.reshape(-1, 8, 8)

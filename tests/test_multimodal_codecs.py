@@ -1478,3 +1478,55 @@ def test_jpeg_cmyk_and_dimension_cap_rejected_early():
     struct.pack_into(">HH", huge, sof_at + 5, 40000, 40000)
     with pytest.raises(ValueError, match="cap"):
         decode_jpeg(bytes(huge))
+
+
+def test_jpeg_grayscale_with_chroma_sampling_factors():
+    """T.81: a one-component sequential scan is non-interleaved over the
+    component's REAL block grid. A legal grayscale JPEG declaring H/V=2
+    (patched SOF byte) must decode to the same pixels as its H/V=1 twin
+    — it previously failed with 'invalid JPEG huffman code' because the
+    decoder walked the sampling-padded MCU grid (ADVICE.md round 5)."""
+    import numpy as np
+
+    from lsh_qd_spark.multimodal import decode_jpeg, encode_jpeg_baseline
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, (24, 17), dtype=np.uint8)
+    pay = encode_jpeg_baseline(g, quality=95)
+    base = decode_jpeg(pay)
+    buf = bytearray(pay)
+    i = 2
+    patched = None
+    while i < len(buf) - 1:
+        marker = buf[i + 1]
+        seglen = (buf[i + 2] << 8) | buf[i + 3]
+        if marker == 0xC0:  # SOF0: ... nf(1), then per-comp id, HV, Tq
+            assert buf[i + 9] == 1  # one component
+            assert buf[i + 11] == 0x11
+            buf[i + 11] = 0x22
+            patched = bytes(buf)
+            break
+        i += 2 + seglen
+    assert patched is not None
+    out = decode_jpeg(patched)
+    assert out.shape == base.shape
+    assert np.array_equal(out, base)
+
+
+def test_jpeg_dequantize_does_not_wrap_int32():
+    """A large accumulated DC predictor times a 16-bit quant entry can
+    exceed int32; the dequantize must widen to int64 so the sample
+    saturates (255) instead of wrapping negative (0) — ADVICE.md."""
+    import numpy as np
+
+    from lsh_qd_spark.multimodal import _jpeg_reconstruct
+
+    coef = np.zeros((1, 64), dtype=np.int32)
+    coef[0, 0] = 300_000  # legal int32 DC accumulation
+    q = np.zeros(64, dtype=np.int64)
+    q[0] = 10_000  # 16-bit DQT entry; product 3e9 wraps int32
+    st = {"coef": coef, "q": q, "bw": 1, "bh": 1, "H": 1, "V": 1}
+    plane = _jpeg_reconstruct(8, 8, [st], 1, 1)
+    assert plane.shape == (8, 8)
+    # huge positive DC -> every sample saturates high
+    assert (plane == 255).all()
