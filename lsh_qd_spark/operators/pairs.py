@@ -141,7 +141,7 @@ def candidate_pairs(
         big = sizes.where(F.col("bucket_n") > max_bucket_size).select(
             "band_idx", "band_key", "rep"
         )
-        # No silent truncation. Eager localCheckpoint FIRST, then decide:
+        # No silent truncation. localCheckpoint FIRST, then decide:
         # the old limit(cap+1).collect() decision ran CollectLimit's
         # incremental scale-up — 3-4 sequential partial jobs (1, 4, 20, …
         # partitions) since real big-key counts sit far below the cap —
@@ -151,7 +151,7 @@ def candidate_pairs(
         # also guarantees the upstream signature kernel runs only once
         # (count+collect on the raw plan would re-run it over the corpus).
         #
-        # Eager localCheckpoint, not persist(): downstream joins consume
+        # localCheckpoint, not persist(): downstream joins consume
         # it lazily, so a plain persist could never be unpersisted from
         # here and would sit in executor storage for the life of the
         # session. Checkpoint blocks are reference-tracked — freed when
@@ -166,7 +166,10 @@ def candidate_pairs(
         # On clusters with aggressive dynamic allocation / preemption,
         # prefer a checkpoint_dir so stage tables, not executor blocks,
         # carry the state.
-        big_ck = big.localCheckpoint(eager=True)
+        # lazy + count: the count materializes the checkpoint blocks in
+        # the same full-parallel job (one action instead of eager-then-
+        # count's two; cluster.py's loop uses the same pattern)
+        big_ck = big.localCheckpoint(eager=False)
         n_big = big_ck.count()
         if n_big > 0:
             if n_big <= big_key_broadcast_cap:

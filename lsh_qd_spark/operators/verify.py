@@ -65,14 +65,16 @@ def _auto_fetch(
     runs: at most ``broadcast_ids_cap`` texts land in (distributed,
     reference-tracked) executor storage — comparable bytes to what the
     candidate_shuffle joins move anyway, and never driver-resident."""
-    # eager checkpoint FIRST: ``ids`` (a union+distinct shuffle over the
+    # checkpoint FIRST: ``ids`` (a union+distinct shuffle over the
     # pairs table) has two consumers here — the count gate and the
     # broadcast semi-join build — and an uncheckpointed plan runs that
     # wide stage twice per verify call. In the over-cap (shuffle-mode)
     # outcome the materialized id blocks go unused, but they are
     # reference-tracked (freed with the plan) and ids-only rows are tiny
     # relative to the two corpus scans that mode is about to pay.
-    ids = ids.localCheckpoint(eager=True)
+    # LAZY checkpoint + count: the count materializes the blocks in the
+    # same job (cluster.py's loop pattern) — one action instead of two.
+    ids = ids.localCheckpoint(eager=False)
     n_ids = ids.count()
     if n_ids > broadcast_ids_cap:
         # the one mode that rescans + reshuffles the whole corpus twice —
@@ -87,11 +89,12 @@ def _auto_fetch(
             broadcast_ids_cap,
         )
         return "shuffle", None
-    # eager localCheckpoint: BOTH pair joins (and the byte gate) consume
-    # this — without it the corpus scan + semi-join would re-run per
-    # consumer. Blocks are reference-tracked (freed with the plan).
+    # localCheckpoint: BOTH pair joins (and the byte gate) consume this —
+    # without it the corpus scan + semi-join would re-run per consumer.
+    # Blocks are reference-tracked (freed with the plan). Lazy: the byte
+    # aggregate right below materializes it in the same job.
     tchk = t.join(F.broadcast(ids), "_vid", "left_semi").localCheckpoint(
-        eager=True
+        eager=False
     )
     # octet_length, not length: the cap guards executor MEMORY, and on
     # non-ASCII corpora (CJK ~3 UTF-8 bytes/char) character count would
